@@ -1,0 +1,264 @@
+"""Voxel quantization and neighbor maps — the sparse-tensor engine core.
+
+TPU-native replacement for MinkowskiEngine's C++/CUDA coordinate manager
+(`ME.utils.sparse_quantize`, `ME.CoordsManager`; SURVEY.md C1, §2.3 — the
+single largest native dependency of the reference). Design:
+
+  * Static shapes everywhere: every fragment is padded to a fixed voxel
+    capacity `V` with an explicit mask; downstream ops thread the mask.
+  * Voxel identity is an *injective* int32 packing of grid coordinates
+    (10 bits/axis → 1024³ grid, 25.6 m span at 2.5 cm voxels), so
+    uniqueness and neighbor lookup are exact — no hash collisions to
+    reason about.
+  * Unique-voxel extraction is sort-based (keys ascend, ranks by cumsum of
+    first-occurrence flags): one `sort` + `segment` pass, all XLA.
+  * Neighbor/kernel maps come from binary search over the sorted key table
+    (`searchsorted`), giving a (K_offsets, V) index map consumed by the
+    gather-GEMM sparse convolution in ops/sparse_conv.py.
+
+Everything jits, vmaps over a fragment batch, and runs on-device; the
+reference does this work on host CPU inside DataLoader workers
+(SURVEY.md §3.1).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+Array = jax.Array
+
+GRID_BITS = 10  # 1024 voxels per axis
+GRID_SIZE = 1 << GRID_BITS
+SENTINEL = jnp.iinfo(jnp.int32).max  # key for invalid/padded entries
+
+
+def pack_coords(coords: Array) -> Array:
+    """(..., 3) int32 in [0, 1024) -> injective int32 key."""
+    return (
+        (coords[..., 0] << (2 * GRID_BITS))
+        | (coords[..., 1] << GRID_BITS)
+        | coords[..., 2]
+    )
+
+
+def unpack_coords(key: Array) -> Array:
+    """Inverse of pack_coords -> (..., 3) int32."""
+    mask = GRID_SIZE - 1
+    x = (key >> (2 * GRID_BITS)) & mask
+    y = (key >> GRID_BITS) & mask
+    z = key & mask
+    return jnp.stack([x, y, z], axis=-1)
+
+
+class VoxelGrid(NamedTuple):
+    """Static-capacity sparse voxel set for one fragment.
+
+    keys:        (V,) int32, sorted ascending, SENTINEL-padded
+    coords:      (V, 3) int32 grid coordinates (garbage where ~mask)
+    mask:        (V,) bool — valid voxels
+    point2voxel: (P,) int32 — voxel slot of each input point (0 where the
+                 point is invalid or overflowed capacity; check point_mask)
+    point_mask:  (P,) bool — input-point validity after quantization
+    origin:      (3,) float — world position of grid coordinate (0,0,0)
+    voxel_size:  () float
+    num_voxels:  () int32 — true unique count (<= V)
+    """
+
+    keys: Array
+    coords: Array
+    mask: Array
+    point2voxel: Array
+    point_mask: Array
+    origin: Array
+    voxel_size: Array
+    num_voxels: Array
+
+    @property
+    def centers(self) -> Array:
+        """World-space voxel centers (V, 3)."""
+        return (
+            self.origin
+            + (self.coords.astype(self.origin.dtype) + 0.5) * self.voxel_size
+        )
+
+
+def voxelize(
+    points: Array,
+    point_mask: Array,
+    voxel_size: float,
+    capacity: int,
+    origin: Array | None = None,
+) -> VoxelGrid:
+    """Quantize a point cloud to a static-capacity sparse voxel grid.
+
+    Mirrors `ME.utils.sparse_quantize` at 2.5 cm (SURVEY.md C1) with
+    TPU-friendly static shapes. Points outside the 1024³ grid around
+    `origin` (default: min corner of the valid points) are dropped via
+    point_mask.
+    """
+    P = points.shape[0]
+    pm = point_mask.astype(bool)
+    if origin is None:
+        big = jnp.array(jnp.inf, points.dtype)
+        origin = jnp.min(jnp.where(pm[:, None], points, big), axis=0)
+        # Half-voxel margin keeps boundary points strictly inside cell 0.
+        origin = origin - 0.5 * voxel_size
+    coords = jnp.floor((points - origin) / voxel_size).astype(jnp.int32)
+    in_grid = jnp.all((coords >= 0) & (coords < GRID_SIZE), axis=-1)
+    valid = pm & in_grid
+    keys = jnp.where(valid, pack_coords(jnp.clip(coords, 0, GRID_SIZE - 1)),
+                     SENTINEL)
+
+    order = jnp.argsort(keys)
+    sorted_keys = keys[order]
+    first = jnp.concatenate(
+        [jnp.ones((1,), bool), sorted_keys[1:] != sorted_keys[:-1]]
+    ) & (sorted_keys != SENTINEL)
+    rank = jnp.cumsum(first.astype(jnp.int32)) - 1  # unique rank per point
+    num_unique = jnp.maximum(rank[-1] + 1, 0) * (sorted_keys[0] != SENTINEL)
+    num_unique = jnp.where(
+        jnp.any(sorted_keys != SENTINEL), rank[-1] + 1, 0
+    ).astype(jnp.int32)
+
+    keep = first & (rank < capacity)
+    slot = jnp.where(keep, rank, capacity)  # overflow -> dropped row
+    out_keys = jnp.full((capacity + 1,), SENTINEL, jnp.int32).at[slot].min(
+        jnp.where(keep, sorted_keys, SENTINEL)
+    )[:capacity]
+    vox_mask = out_keys != SENTINEL
+
+    # Per-point voxel slot in original order.
+    in_capacity = (sorted_keys != SENTINEL) & (rank < capacity)
+    p2v_sorted = jnp.where(in_capacity, jnp.minimum(rank, capacity - 1), 0)
+    point2voxel = jnp.zeros((P,), jnp.int32).at[order].set(p2v_sorted)
+    final_pm = jnp.zeros((P,), bool).at[order].set(in_capacity)
+
+    return VoxelGrid(
+        keys=out_keys,
+        coords=unpack_coords(out_keys) * vox_mask[:, None],
+        mask=vox_mask,
+        point2voxel=point2voxel,
+        point_mask=final_pm,
+        origin=origin,
+        voxel_size=jnp.asarray(voxel_size, points.dtype),
+        num_voxels=jnp.minimum(num_unique, capacity),
+    )
+
+
+def average_pool_points(
+    grid: VoxelGrid, point_feats: Array, capacity: int | None = None
+) -> Array:
+    """Mean point feature per voxel, (V, C). Padded voxels get zeros."""
+    V = grid.keys.shape[0] if capacity is None else capacity
+    w = grid.point_mask.astype(point_feats.dtype)
+    sums = jax.ops.segment_sum(
+        point_feats * w[:, None], grid.point2voxel, num_segments=V
+    )
+    cnts = jax.ops.segment_sum(w, grid.point2voxel, num_segments=V)
+    return sums / jnp.maximum(cnts, 1.0)[:, None]
+
+
+def lookup(keys_sorted: Array, queries: Array) -> Array:
+    """Find indices of `queries` in a sorted, SENTINEL-padded key table.
+
+    Returns int32 indices into the table, or -1 where absent. The binary
+    search runs as an XLA gather loop; a Pallas hash-probe kernel with the
+    same contract can swap in underneath (ops/pallas).
+    """
+    pos = jnp.searchsorted(keys_sorted, queries).astype(jnp.int32)
+    pos_c = jnp.minimum(pos, keys_sorted.shape[0] - 1)
+    hit = (keys_sorted[pos_c] == queries) & (queries != SENTINEL)
+    return jnp.where(hit, pos_c, -1)
+
+
+def neighbor_offsets(kernel_size: int) -> Array:
+    """All (dz-major) integer offsets of a cubic kernel, (k³, 3) int32."""
+    r = kernel_size // 2
+    rng = range(-r, kernel_size - r)
+    return jnp.array(
+        [(dx, dy, dz) for dx in rng for dy in rng for dz in rng],
+        dtype=jnp.int32,
+    )
+
+
+def kernel_map(grid_keys: Array, grid_mask: Array, offsets: Array) -> Array:
+    """Kernel map (K, V): index of neighbor `coord + offset_k`, or -1.
+
+    TPU-native equivalent of MinkowskiEngine's kernel-map construction
+    (SURVEY.md §3.4): for each of the K kernel offsets, one vectorized
+    packed-key shift + binary search over the sorted voxel table.
+    """
+    coords = unpack_coords(grid_keys)
+    ncoords = coords[None, :, :] + offsets[:, None, :]  # (K, V, 3)
+    in_grid = jnp.all((ncoords >= 0) & (ncoords < GRID_SIZE), axis=-1)
+    ok = in_grid & grid_mask[None, :]
+    nkeys = jnp.where(
+        ok, pack_coords(jnp.clip(ncoords, 0, GRID_SIZE - 1)), SENTINEL
+    )
+    return lookup(grid_keys, nkeys)
+
+
+class PoolMap(NamedTuple):
+    """Fine->coarse stride-2 relationship between two voxel levels.
+
+    parent:       (Vf,) int32 — coarse slot of each fine voxel (0 if ~mask)
+    child_offset: (Vf,) int32 in [0, 8) — fine voxel's octant in its parent
+    mask:         (Vf,) bool
+    """
+
+    parent: Array
+    child_offset: Array
+    mask: Array
+
+
+def coarsen(grid: VoxelGrid, capacity: int) -> tuple[VoxelGrid, PoolMap]:
+    """Build the stride-2 coarser level and its pooling map.
+
+    Stride-2 "generative" downsampling à la MinkowskiEngine stride-2 conv:
+    coarse voxel set = unique(fine_coords // 2). The returned PoolMap
+    drives both the downsampling conv (scatter-add of per-octant GEMMs) and
+    the transpose conv back up (gather), replacing ME's strided kernel maps
+    (SURVEY.md C2).
+    """
+    fine_coords = unpack_coords(grid.keys)
+    parent_coords = fine_coords >> 1
+    parent_keys = jnp.where(grid.mask, pack_coords(parent_coords), SENTINEL)
+
+    order = jnp.argsort(parent_keys)
+    sk = parent_keys[order]
+    first = jnp.concatenate([jnp.ones((1,), bool), sk[1:] != sk[:-1]]) & (
+        sk != SENTINEL
+    )
+    rank = jnp.cumsum(first.astype(jnp.int32)) - 1
+    num_unique = jnp.where(jnp.any(sk != SENTINEL), rank[-1] + 1, 0)
+
+    keep = first & (rank < capacity)
+    slot = jnp.where(keep, rank, capacity)
+    out_keys = jnp.full((capacity + 1,), SENTINEL, jnp.int32).at[slot].min(
+        jnp.where(keep, sk, SENTINEL)
+    )[:capacity]
+    vox_mask = out_keys != SENTINEL
+
+    in_cap = (sk != SENTINEL) & (rank < capacity)
+    p_sorted = jnp.where(in_cap, jnp.minimum(rank, capacity - 1), 0)
+    Vf = grid.keys.shape[0]
+    parent = jnp.zeros((Vf,), jnp.int32).at[order].set(p_sorted)
+    pmask = jnp.zeros((Vf,), bool).at[order].set(in_cap)
+
+    oct_ = fine_coords & 1
+    child_offset = oct_[:, 0] * 4 + oct_[:, 1] * 2 + oct_[:, 2]
+
+    coarse = VoxelGrid(
+        keys=out_keys,
+        coords=unpack_coords(out_keys) * vox_mask[:, None],
+        mask=vox_mask,
+        point2voxel=parent,  # fine-voxel -> coarse-voxel map
+        point_mask=pmask,
+        origin=grid.origin,
+        voxel_size=grid.voxel_size * 2.0,
+        num_voxels=jnp.minimum(num_unique, capacity).astype(jnp.int32),
+    )
+    return coarse, PoolMap(parent=parent, child_offset=child_offset, mask=pmask)
