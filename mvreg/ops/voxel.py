@@ -104,8 +104,11 @@ def voxelize(
     if origin is None:
         big = jnp.array(jnp.inf, points.dtype)
         origin = jnp.min(jnp.where(pm[:, None], points, big), axis=0)
-        # Half-voxel margin keeps boundary points strictly inside cell 0.
-        origin = origin - 0.5 * voxel_size
+        # Half-voxel margin keeps boundary points strictly inside cell 0;
+        # fall back to 0 for an all-masked (empty) input.
+        origin = jnp.where(
+            jnp.any(pm), origin - 0.5 * voxel_size, jnp.zeros_like(origin)
+        )
     coords = jnp.floor((points - origin) / voxel_size).astype(jnp.int32)
     in_grid = jnp.all((coords >= 0) & (coords < GRID_SIZE), axis=-1)
     valid = pm & in_grid
@@ -118,7 +121,6 @@ def voxelize(
         [jnp.ones((1,), bool), sorted_keys[1:] != sorted_keys[:-1]]
     ) & (sorted_keys != SENTINEL)
     rank = jnp.cumsum(first.astype(jnp.int32)) - 1  # unique rank per point
-    num_unique = jnp.maximum(rank[-1] + 1, 0) * (sorted_keys[0] != SENTINEL)
     num_unique = jnp.where(
         jnp.any(sorted_keys != SENTINEL), rank[-1] + 1, 0
     ).astype(jnp.int32)
