@@ -1,0 +1,101 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mvreg.models.fcgf import FCGF, build_unet_plan
+
+CAPS = (512, 256, 128, 64)
+
+
+def _plan_and_feats(key, B=2, P=800):
+    pts = jax.random.uniform(key, (B, P, 3), minval=0.0, maxval=1.5)
+    pmask = jnp.ones((B, P), bool)
+    plan = build_unet_plan(pts, pmask, voxel_size=0.05, capacities=CAPS)
+    feats = jnp.ones((B, CAPS[0], 1)) * plan.masks[0][..., None]
+    return plan, feats
+
+
+def test_fcgf_forward_shapes_and_norms():
+    plan, feats = _plan_and_feats(jax.random.PRNGKey(0))
+    model = FCGF()
+    variables = model.init(jax.random.PRNGKey(1), plan, feats, train=False)
+    out = model.apply(variables, plan, feats, train=False)
+    assert out.shape == (2, CAPS[0], 32)
+    norms = np.linalg.norm(np.asarray(out), axis=-1)
+    m = np.asarray(plan.masks[0])
+    np.testing.assert_allclose(norms[m], 1.0, atol=1e-4)
+    assert not norms[~m].any()  # padded rows exactly zero
+
+
+def test_fcgf_padding_invariance():
+    """Descriptors of real voxels must not depend on padding content."""
+    plan, feats = _plan_and_feats(jax.random.PRNGKey(2), B=1)
+    model = FCGF(channels=(8, 16, 16, 32), out_dim=8)
+    variables = model.init(jax.random.PRNGKey(3), plan, feats, train=False)
+    out1 = model.apply(variables, plan, feats, train=False)
+    # poison padded feature rows — result on valid rows must be identical
+    poisoned = jnp.where(plan.masks[0][..., None], feats, 123.0)
+    out2 = model.apply(variables, plan, poisoned, train=False)
+    m = np.asarray(plan.masks[0][0])
+    np.testing.assert_allclose(
+        np.asarray(out1[0])[m], np.asarray(out2[0])[m], atol=1e-5
+    )
+
+
+def test_fcgf_train_step_updates():
+    plan, feats = _plan_and_feats(jax.random.PRNGKey(4), B=2, P=400)
+    model = FCGF(channels=(8, 16, 16, 32), out_dim=8)
+    variables = model.init(jax.random.PRNGKey(5), plan, feats, train=True)
+    params, stats = variables["params"], variables["batch_stats"]
+
+    def loss_fn(params, stats):
+        out, updates = model.apply(
+            {"params": params, "batch_stats": stats},
+            plan, feats, train=True, mutable=["batch_stats"],
+        )
+        return jnp.sum(out**2), updates["batch_stats"]
+
+    (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+        params, stats
+    )
+    flat = jax.tree_util.tree_leaves(grads)
+    assert all(np.isfinite(np.asarray(g)).all() for g in flat)
+    assert any(float(jnp.abs(g).sum()) > 0 for g in flat)
+    # batch stats actually moved
+    moved = jax.tree_util.tree_map(
+        lambda a, b: float(jnp.abs(a - b).sum()), stats, new_stats
+    )
+    assert sum(jax.tree_util.tree_leaves(moved)) > 0
+
+
+def test_fcgf_translation_invariance():
+    """Descriptors are a function of local geometry: translating the cloud
+    by an exact multiple of the voxel size must not change them."""
+    key = jax.random.PRNGKey(6)
+    pts = jax.random.uniform(key, (1, 600, 3), minval=0.0, maxval=1.0)
+    pmask = jnp.ones((1, 600), bool)
+    model = FCGF(channels=(8, 16, 16, 32), out_dim=8)
+
+    plan1 = build_unet_plan(pts, pmask, 0.05, CAPS)
+    feats1 = jnp.ones((1, CAPS[0], 1)) * plan1.masks[0][..., None]
+    variables = model.init(jax.random.PRNGKey(7), plan1, feats1, train=False)
+    out1 = model.apply(variables, plan1, feats1, train=False)
+
+    shift = jnp.array([0.05 * 4, 0.05 * 8, 0.05 * 2])
+    plan2 = build_unet_plan(pts + shift, pmask, 0.05, CAPS)
+    feats2 = jnp.ones((1, CAPS[0], 1)) * plan2.masks[0][..., None]
+    out2 = model.apply(variables, plan2, feats2, train=False)
+
+    # same voxel sets (up to ordering) -> compare via sorted keys
+    k1 = np.asarray(plan1.grids[0].keys[0])
+    k2 = np.asarray(plan2.grids[0].keys[0])
+    m1 = np.asarray(plan1.masks[0][0])
+    o1, o2 = np.argsort(k1), np.argsort(k2)
+    # grid origin is derived from the min corner both times, so coords and
+    # hence keys match after sorting
+    np.testing.assert_array_equal(k1[o1][m1[o1]], k2[o2][m1[o1]])
+    np.testing.assert_allclose(
+        np.asarray(out1[0])[o1][m1[o1]],
+        np.asarray(out2[0])[o2][m1[o1]],
+        atol=1e-4,
+    )
