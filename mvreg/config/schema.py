@@ -1,0 +1,146 @@
+"""Typed configuration system with YAML overlay.
+
+Counterpart of `ref:lib/config.py::get_config` + `ref:configs/*.yaml`
+(SURVEY.md C16, L7) — the reference merges YAML dicts into a dot-access
+config; here configs are frozen dataclasses (typo-proof, jit-hashable
+where needed) with YAML load/save and dotted-path overrides.
+
+Every reference hyperparameter is surfaced: voxel size (2.5 cm), voxel
+capacities, correspondence count, filtering channels/clusters, inlier
+threshold τ, sync iterations, Cauchy b, confidence prune threshold
+(SURVEY.md §5.6).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Any
+
+import yaml
+
+
+@dataclass(frozen=True)
+class VoxelConfig:
+    voxel_size: float = 0.025  # meters (reference: 2.5 cm)
+    capacities: tuple[int, ...] = (8192, 4096, 2048, 1024)
+    kernel_size: int = 3
+
+
+@dataclass(frozen=True)
+class ModelConfig:
+    channels: tuple[int, ...] = (32, 64, 128, 256)
+    descriptor_dim: int = 32
+
+
+@dataclass(frozen=True)
+class MatchConfig:
+    num_corr: int = 1024  # putative correspondences per pair
+    mutual: bool = True
+    soft_temperature: float = 0.02
+    irls_iters: int = 3  # robust Procrustes reweighting (RANSAC stand-in)
+    irls_scale: float = 0.05  # Cauchy scale, meters
+
+
+@dataclass(frozen=True)
+class FilterConfig:
+    channels: int = 128
+    num_clusters: int = 500
+    blocks_before: int = 3
+    blocks_cluster: int = 3
+    blocks_after: int = 3
+    inlier_threshold: float = 0.075  # meters (τ for BCE labels, C9)
+
+
+@dataclass(frozen=True)
+class SyncConfig:
+    num_iters: int = 4
+    cauchy_b: float = 0.5
+    confidence_threshold: float = 0.3  # prune edges below
+    trans_scale: float = 1.0
+
+
+@dataclass(frozen=True)
+class TrainConfig:
+    learning_rate: float = 1e-3
+    lr_decay: float = 0.99  # exponential, per epoch-equivalent
+    weight_decay: float = 0.0
+    batch_pairs: int = 4
+    steps: int = 10000
+    seed: int = 0
+    checkpoint_every: int = 500
+    bf16: bool = True  # bfloat16 feature path, fp32 solves
+
+
+@dataclass(frozen=True)
+class PipelineConfig:
+    voxel: VoxelConfig = field(default_factory=VoxelConfig)
+    model: ModelConfig = field(default_factory=ModelConfig)
+    match: MatchConfig = field(default_factory=MatchConfig)
+    filter: FilterConfig = field(default_factory=FilterConfig)
+    sync: SyncConfig = field(default_factory=SyncConfig)
+    train: TrainConfig = field(default_factory=TrainConfig)
+
+
+def _to_dict(cfg: Any) -> Any:
+    if dataclasses.is_dataclass(cfg):
+        return {
+            f.name: _to_dict(getattr(cfg, f.name))
+            for f in dataclasses.fields(cfg)
+        }
+    if isinstance(cfg, tuple):
+        return list(cfg)
+    return cfg
+
+
+def _from_dict(cls: type, d: dict) -> Any:
+    kwargs = {}
+    for f in dataclasses.fields(cls):
+        if f.name not in d:
+            continue
+        v = d[f.name]
+        if dataclasses.is_dataclass(f.type if isinstance(f.type, type) else None):
+            kwargs[f.name] = _from_dict(f.type, v)
+        elif f.name in _NESTED.get(cls, {}):
+            kwargs[f.name] = _from_dict(_NESTED[cls][f.name], v)
+        elif isinstance(v, list):
+            kwargs[f.name] = tuple(v)
+        else:
+            kwargs[f.name] = v
+    return cls(**kwargs)
+
+
+_NESTED = {
+    PipelineConfig: {
+        "voxel": VoxelConfig,
+        "model": ModelConfig,
+        "match": MatchConfig,
+        "filter": FilterConfig,
+        "sync": SyncConfig,
+        "train": TrainConfig,
+    }
+}
+
+
+def save_yaml(cfg: PipelineConfig, path: str) -> None:
+    with open(path, "w") as f:
+        yaml.safe_dump(_to_dict(cfg), f, sort_keys=False)
+
+
+def load_yaml(path: str) -> PipelineConfig:
+    with open(path) as f:
+        return _from_dict(PipelineConfig, yaml.safe_load(f) or {})
+
+
+def override(cfg: PipelineConfig, **dotted: Any) -> PipelineConfig:
+    """Apply dotted-path overrides: override(cfg, **{"sync.num_iters": 8})."""
+    d = _to_dict(cfg)
+    for key, val in dotted.items():
+        node = d
+        parts = key.split(".")
+        for p in parts[:-1]:
+            node = node[p]
+        if parts[-1] not in node:
+            raise KeyError(f"unknown config key: {key}")
+        node[parts[-1]] = val
+    return _from_dict(PipelineConfig, d)

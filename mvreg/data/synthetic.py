@@ -1,0 +1,176 @@
+"""Synthetic multiview scenes for offline testing and benchmarking.
+
+The reference has no synthetic data path (its tests are the benchmarks on
+downloaded 3DMatch/ScanNet sets; SURVEY.md §4); with no datasets on disk
+in this environment, every integration test and benchmark bootstraps from
+here (SURVEY.md §7 build order 6). Scenes mimic indoor TSDF fragments: a
+structured world surface (heightfield floor + walls + boxes/spheres) is
+sampled, then N partially-overlapping ball crops become fragments, each
+expressed in its own local frame with a known GT absolute pose.
+
+Host-side numpy (mirrors the reference's CPU dataloader stage); outputs
+are fixed-size padded arrays ready for device upload.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import numpy as np
+
+
+class Scene(NamedTuple):
+    """A synthetic multiview scene.
+
+    points:  (N, P, 3) float32 — fragment point clouds in LOCAL frames
+    mask:    (N, P) bool
+    R_gt:    (N, 3, 3) — local -> world rotations
+    t_gt:    (N, 3)
+    centers: (N, 3) — world-frame crop centers (diagnostics)
+    """
+
+    points: np.ndarray
+    mask: np.ndarray
+    R_gt: np.ndarray
+    t_gt: np.ndarray
+    centers: np.ndarray
+
+
+def _random_rotation(rng: np.random.Generator, n: int = 1) -> np.ndarray:
+    q = rng.normal(size=(n, 4))
+    q /= np.linalg.norm(q, axis=-1, keepdims=True)
+    w, x, y, z = q[:, 0], q[:, 1], q[:, 2], q[:, 3]
+    R = np.stack(
+        [
+            1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y),
+            2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x),
+            2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y),
+        ],
+        axis=-1,
+    ).reshape(n, 3, 3)
+    return R
+
+
+def sample_world_surface(
+    rng: np.random.Generator,
+    num_points: int = 200_000,
+    extent: float = 4.0,
+) -> np.ndarray:
+    """Sample a structured indoor-ish surface: floor heightfield, two walls,
+    and a handful of boxes/spheres. Returns (num_points, 3) float32."""
+    parts = []
+    n_floor = num_points // 2
+    xy = rng.uniform(0, extent, size=(n_floor, 2))
+    freqs = rng.uniform(1.0, 3.0, size=(3, 2))
+    phases = rng.uniform(0, 2 * np.pi, size=3)
+    amps = rng.uniform(0.05, 0.15, size=3)
+    z = sum(
+        a * np.sin(xy @ f + p) for a, f, p in zip(amps, freqs, phases)
+    )
+    parts.append(np.column_stack([xy, z]))
+
+    n_wall = num_points // 6
+    for axis in (0, 1):
+        u = rng.uniform(0, extent, size=(n_wall,))
+        v = rng.uniform(0, 1.8, size=(n_wall,))
+        w = np.full(n_wall, 0.0) + 0.02 * rng.normal(size=n_wall)
+        pts = np.zeros((n_wall, 3))
+        pts[:, axis] = w
+        pts[:, 1 - axis] = u
+        pts[:, 2] = v
+        parts.append(pts)
+
+    n_obj = num_points - n_floor - 2 * n_wall
+    n_each = max(n_obj // 4, 1)
+    for _ in range(4):
+        c = np.array(
+            [rng.uniform(0.5, extent - 0.5), rng.uniform(0.5, extent - 0.5),
+             rng.uniform(0.2, 0.8)]
+        )
+        if rng.random() < 0.5:  # sphere shell
+            r = rng.uniform(0.15, 0.4)
+            d = rng.normal(size=(n_each, 3))
+            d /= np.linalg.norm(d, axis=-1, keepdims=True)
+            parts.append(c + r * d)
+        else:  # axis-aligned box shell
+            half = rng.uniform(0.15, 0.4, size=3)
+            face = rng.integers(0, 6, size=n_each)
+            p = rng.uniform(-1, 1, size=(n_each, 3)) * half
+            ax, sign = face % 3, np.where(face < 3, 1.0, -1.0)
+            p[np.arange(n_each), ax] = sign * half[ax]
+            parts.append(c + p)
+
+    pts = np.concatenate(parts)[:num_points].astype(np.float32)
+    return pts
+
+
+def make_scene(
+    seed: int,
+    num_fragments: int = 6,
+    points_per_fragment: int = 4096,
+    crop_radius: float = 1.2,
+    noise: float = 0.005,
+    extent: float = 4.0,
+    world_points: int = 150_000,
+    min_overlap_shift: float = 0.6,
+) -> Scene:
+    """Generate a scene of partially-overlapping fragments with GT poses.
+
+    Crop centers form a random walk across the world so consecutive
+    fragments overlap (shift < crop diameter); each crop is mapped into a
+    random local frame by the *inverse* of its GT pose, with Gaussian
+    noise added in the local frame.
+    """
+    rng = np.random.default_rng(seed)
+    world = sample_world_surface(rng, world_points, extent)
+
+    centers = np.zeros((num_fragments, 3))
+    c = rng.uniform(1.0, extent - 1.0, size=3) * np.array([1, 1, 0.2])
+    for k in range(num_fragments):
+        centers[k] = c
+        step = rng.normal(size=3) * np.array([1.0, 1.0, 0.1])
+        step = step / (np.linalg.norm(step) + 1e-9) * min_overlap_shift
+        c = np.clip(c + step, [0.5, 0.5, -0.5], [extent - 0.5, extent - 0.5, 1.0])
+
+    R_gt = _random_rotation(rng, num_fragments)
+    t_gt = rng.uniform(-2.0, 2.0, size=(num_fragments, 3))
+
+    P = points_per_fragment
+    points = np.zeros((num_fragments, P, 3), np.float32)
+    mask = np.zeros((num_fragments, P), bool)
+    for k in range(num_fragments):
+        d2 = ((world - centers[k]) ** 2).sum(-1)
+        inside = np.flatnonzero(d2 < crop_radius**2)
+        if len(inside) == 0:
+            continue
+        take = rng.choice(inside, size=min(P, len(inside)), replace=False)
+        crop_world = world[take]
+        # local = R_gtᵀ (world - t_gt)  so that  world = R_gt local + t_gt
+        local = (crop_world - t_gt[k]) @ R_gt[k]
+        local += noise * rng.normal(size=local.shape)
+        points[k, : len(take)] = local.astype(np.float32)
+        mask[k, : len(take)] = True
+
+    return Scene(
+        points=points,
+        mask=mask,
+        R_gt=R_gt.astype(np.float32),
+        t_gt=t_gt.astype(np.float32),
+        centers=centers.astype(np.float32),
+    )
+
+
+def make_pair(
+    seed: int,
+    points_per_fragment: int = 4096,
+    noise: float = 0.005,
+    overlap_shift: float = 0.5,
+) -> Scene:
+    """Two-fragment scene (the 3DMatch-style pairwise training unit)."""
+    return make_scene(
+        seed,
+        num_fragments=2,
+        points_per_fragment=points_per_fragment,
+        noise=noise,
+        min_overlap_shift=overlap_shift,
+    )

@@ -1,0 +1,235 @@
+"""End-to-end registration pipeline: descriptors → match → filter →
+Procrustes → confidence → synchronization.
+
+This is the framework's equivalent of the reference's top-level flows
+(`ref:scripts/benchmark_pairwise_registration.py` §3.2 and
+`ref:scripts/benchmark_multiview_registration.py` §3.3 in SURVEY.md),
+re-designed as pure jittable functions: a whole scene — all fragments'
+descriptors, all C(N,2) pairwise registrations, and the IRLS sync — runs
+as ONE compiled program on device, where the reference loops pairs in
+Python, caches features to disk, and hops to host CPU for sync.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from mvreg.config.schema import PipelineConfig
+from mvreg.core.metrics import transformation_residuals
+from mvreg.core.procrustes import irls_kabsch, kabsch
+from mvreg.models.fcgf import FCGF, build_unet_plan
+from mvreg.models.filtering import ConfidenceNet, FilteringNet, edge_statistics
+from mvreg.ops.knn import mutual_match, nn_match, soft_match
+from mvreg.sync.irls import SyncResult, synchronize
+
+Array = jax.Array
+
+
+class RegistrationParams(NamedTuple):
+    """All model variables (each a dict with 'params' [+ 'batch_stats'])."""
+
+    fcgf: dict
+    filter: dict
+    confidence: dict
+
+
+class Descriptors(NamedTuple):
+    feats: Array  # (B, V, D) unit descriptors
+    centers: Array  # (B, V, 3) voxel centers, fragment-local frame
+    mask: Array  # (B, V)
+
+
+class PairResult(NamedTuple):
+    R: Array  # (3, 3) estimated T_ij rotation (frame i -> frame j)
+    t: Array  # (3,)
+    confidence: Array  # () edge confidence in [0, 1]
+    logits: Array  # (K,) filtering logits
+    weights: Array  # (K,) filtering weights
+    x: Array  # (K, 3) source keypoints (frame i)
+    y: Array  # (K, 3) matched targets (frame j)
+    corr_mask: Array  # (K,)
+
+
+class SceneResult(NamedTuple):
+    edge_idx: Array  # (E, 2)
+    pairs: PairResult  # batched over E
+    sync: SyncResult  # absolute poses
+
+
+def make_models(cfg: PipelineConfig):
+    fcgf = FCGF(
+        channels=cfg.model.channels, out_dim=cfg.model.descriptor_dim
+    )
+    fnet = FilteringNet(
+        channels=cfg.filter.channels,
+        num_clusters=cfg.filter.num_clusters,
+        blocks_before=cfg.filter.blocks_before,
+        blocks_cluster=cfg.filter.blocks_cluster,
+        blocks_after=cfg.filter.blocks_after,
+    )
+    cnet = ConfidenceNet()
+    return fcgf, fnet, cnet
+
+
+def init_params(key: Array, cfg: PipelineConfig) -> RegistrationParams:
+    """Initialize all model variables on dummy static-shaped inputs."""
+    fcgf, fnet, cnet = make_models(cfg)
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    P = 512
+    pts = jax.random.uniform(k4, (1, P, 3), minval=0.0, maxval=1.0)
+    plan = build_unet_plan(
+        pts, jnp.ones((1, P), bool), cfg.voxel.voxel_size,
+        cfg.voxel.capacities, cfg.voxel.kernel_size,
+    )
+    feats = jnp.ones((1, cfg.voxel.capacities[0], 1))
+    fcgf_vars = fcgf.init(k1, plan, feats, train=False)
+    corr = jnp.zeros((1, cfg.match.num_corr, 6))
+    fvars = fnet.init(k2, corr, jnp.ones((1, cfg.match.num_corr)), train=False)
+    cvars = cnet.init(k3, jnp.zeros((1, 8)))
+    return RegistrationParams(fcgf=fcgf_vars, filter=fvars, confidence=cvars)
+
+
+def extract_descriptors(
+    params: RegistrationParams,
+    cfg: PipelineConfig,
+    points: Array,
+    mask: Array,
+    train: bool = False,
+) -> Descriptors:
+    """FCGF descriptors for a batch of fragments (B, P, 3) -> (B, V, D)."""
+    fcgf, _, _ = make_models(cfg)
+    plan = build_unet_plan(
+        points, mask, cfg.voxel.voxel_size, cfg.voxel.capacities,
+        cfg.voxel.kernel_size,
+    )
+    V0 = cfg.voxel.capacities[0]
+    feats = jnp.ones((points.shape[0], V0, 1)) * plan.masks[0][..., None]
+    desc = fcgf.apply(params.fcgf, plan, feats, train=False)
+    g = plan.grids[0]
+    centers = g.origin[:, None, :] + (
+        g.coords.astype(points.dtype) + 0.5
+    ) * g.voxel_size[:, None, None]
+    centers = centers * plan.masks[0][..., None]
+    return Descriptors(feats=desc, centers=centers, mask=plan.masks[0])
+
+
+def select_keypoints(
+    desc: Array, centers: Array, mask: Array, num: int, key: Array | None = None
+) -> tuple[Array, Array, Array]:
+    """Pick `num` keypoint rows, valid-first (optionally shuffled), static."""
+    V = mask.shape[0]
+    score = (~mask.astype(bool)).astype(jnp.float32)
+    if key is not None:
+        score = score * 2.0 + jax.random.uniform(key, (V,))
+    order = jnp.argsort(score)[:num]
+    return desc[order], centers[order], mask[order].astype(bool)
+
+
+def register_pair(
+    params: RegistrationParams,
+    cfg: PipelineConfig,
+    desc_i: Descriptors,
+    desc_j: Descriptors,
+    train: bool = False,
+    use_soft_match: bool = False,
+    use_filter: bool = True,
+) -> PairResult:
+    """Estimate T_ij (mapping fragment-i points into fragment j's frame).
+
+    Mirrors the reference inner loop (SURVEY.md §3.2): NN match in
+    descriptor space → filtering net → robust weighted Procrustes →
+    confidence. `use_filter=False` skips the learned filter (uniform
+    weights over the putative set) — the IRLS Procrustes alone then plays
+    the role the reference delegates to RANSAC.
+    """
+    _, fnet, cnet = make_models(cfg)
+    K = cfg.match.num_corr
+    kd, kc, km = desc_i.feats, desc_i.centers, desc_i.mask
+    fd, fc, fm = select_keypoints(kd, kc, km, K)
+
+    if use_soft_match:
+        y = soft_match(
+            fd, fm, desc_j.feats, desc_j.mask, desc_j.centers,
+            cfg.match.soft_temperature,
+        )
+        corr_mask = fm
+    elif cfg.match.mutual:
+        idx, _, mut = mutual_match(fd, fm, desc_j.feats, desc_j.mask)
+        y = desc_j.centers[idx]
+        corr_mask = fm & mut
+    else:
+        idx, _ = nn_match(fd, fm, desc_j.feats, desc_j.mask)
+        y = desc_j.centers[idx]
+        corr_mask = fm
+
+    x = fc * corr_mask[:, None]
+    y = y * corr_mask[:, None]
+    corr = jnp.concatenate([x, y], axis=-1)
+    if use_filter:
+        logits, w = fnet.apply(
+            params.filter, corr[None], corr_mask[None].astype(corr.dtype),
+            train=False,
+        )
+        logits, w = logits[0], w[0]
+    else:
+        logits = jnp.where(corr_mask, 1e3, -1e3)
+        w = corr_mask.astype(corr.dtype)
+    w_eff = w * corr_mask + 1e-9 * corr_mask
+    R, t, _ = irls_kabsch(
+        x, y, w_eff, num_iters=cfg.match.irls_iters,
+        scale=cfg.match.irls_scale,
+    )
+    res = transformation_residuals(R, t, x, y)
+    stats = edge_statistics(w, corr_mask.astype(w.dtype), res)
+    conf = cnet.apply(params.confidence, stats[None])[0]
+    return PairResult(
+        R=R, t=t, confidence=conf, logits=logits, weights=w,
+        x=x, y=y, corr_mask=corr_mask,
+    )
+
+
+def all_pairs(n: int) -> Array:
+    """Static (E, 2) upper-triangle edge list, E = C(n, 2)."""
+    return jnp.array(
+        [(i, j) for i in range(n) for j in range(i + 1, n)], dtype=jnp.int32
+    )
+
+
+def register_scene(
+    params: RegistrationParams,
+    cfg: PipelineConfig,
+    points: Array,
+    mask: Array,
+    use_filter: bool = True,
+) -> SceneResult:
+    """Full multiview registration of one scene (N, P, 3) -> absolute poses.
+
+    One jittable program: descriptors for all fragments, vmapped pairwise
+    registration over all C(N,2) edges, confidence-pruned IRLS sync
+    (SURVEY.md §3.3, C8).
+    """
+    N = points.shape[0]
+    desc = extract_descriptors(params, cfg, points, mask)
+    edge_idx = all_pairs(N)
+
+    def one_edge(e):
+        di = jax.tree_util.tree_map(lambda a: a[e[0]], desc)
+        dj = jax.tree_util.tree_map(lambda a: a[e[1]], desc)
+        return register_pair(params, cfg, di, dj, use_filter=use_filter)
+
+    pairs = jax.lax.map(one_edge, edge_idx)
+
+    c_init = pairs.confidence * (
+        pairs.confidence >= cfg.sync.confidence_threshold
+    )
+    # Guard: if pruning empties the graph, fall back to raw confidences.
+    c_init = jnp.where(jnp.sum(c_init) > 1e-6, c_init, pairs.confidence)
+    sync = synchronize(
+        edge_idx, pairs.R, pairs.t, c_init, n_nodes=N,
+        num_iters=cfg.sync.num_iters, cauchy_b=cfg.sync.cauchy_b,
+        trans_scale=cfg.sync.trans_scale,
+    )
+    return SceneResult(edge_idx=edge_idx, pairs=pairs, sync=sync)
