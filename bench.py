@@ -1,0 +1,168 @@
+"""Throughput benchmark: fragments/s/chip on the end-to-end pairwise path.
+
+Protocol (BASELINE.md): process batches of fragment pairs through the
+full pipeline — on-device voxelization, FCGF descriptor UNet, mutual
+matching, learned filtering, IRLS weighted Procrustes, confidence — and
+report fragments processed per second on one chip. `vs_baseline` is the
+speedup over the host-CPU baseline for the *identical* computation
+(measured once and cached in BENCH_CPU_BASELINE.json; BASELINE.md target:
+>= 10x).
+
+Prints exactly one JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+CPU_CACHE = os.path.join(REPO, "BENCH_CPU_BASELINE.json")
+
+# Benchmark scale: realistic 3DMatch-like fragments (SURVEY.md §5.7:
+# ~10^5 points -> ~10^4 voxels at 2.5 cm).
+POINTS = 16384
+BATCH_PAIRS = 4  # 8 fragments per step
+CFG_OVERRIDES = {
+    "voxel.capacities": [8192, 4096, 2048, 1024],
+    "voxel.voxel_size": 0.025,
+    "model.channels": [32, 64, 128, 256],
+    "model.descriptor_dim": 32,
+    "match.num_corr": 1024,
+    "filter.channels": 128,
+    "filter.num_clusters": 128,
+    "filter.blocks_before": 2,
+    "filter.blocks_cluster": 2,
+    "filter.blocks_after": 2,
+}
+
+
+def build():
+    import jax
+    import jax.numpy as jnp
+
+    from mvreg.config.schema import PipelineConfig, override
+    from mvreg.data.synthetic import make_pair
+    from mvreg.pipeline import (
+        extract_descriptors,
+        init_params,
+        register_pair,
+    )
+
+    cfg = override(PipelineConfig(), **CFG_OVERRIDES)
+    params = init_params(jax.random.PRNGKey(0), cfg)
+
+    import numpy as np
+
+    pts = np.zeros((BATCH_PAIRS * 2, POINTS, 3), np.float32)
+    msk = np.zeros((BATCH_PAIRS * 2, POINTS), bool)
+    for b in range(BATCH_PAIRS):
+        scene = make_pair(seed=b, points_per_fragment=POINTS)
+        pts[2 * b : 2 * b + 2] = scene.points
+        msk[2 * b : 2 * b + 2] = scene.mask
+    points = jnp.asarray(pts)
+    mask = jnp.asarray(msk)
+
+    def step(params, points, mask):
+        desc = extract_descriptors(params, cfg, points, mask)
+        def one_pair(b):
+            di = jax.tree_util.tree_map(lambda a: a[2 * b], desc)
+            dj = jax.tree_util.tree_map(lambda a: a[2 * b + 1], desc)
+            out = register_pair(params, cfg, di, dj)
+            return out.R, out.t, out.confidence
+        return jax.lax.map(one_pair, jnp.arange(BATCH_PAIRS))
+
+    return jax.jit(step), (params, points, mask)
+
+
+def _sync(out):
+    """Force completion via device->host readback of a small output.
+
+    On the axon PJRT relay, jax.block_until_ready returns before the
+    computation finishes (verified experimentally: 0.3 ms "steps" whose
+    results take 500 ms to materialize); reading bytes back is the only
+    reliable completion barrier. The (4,3,3) transfer is negligible.
+    """
+    import numpy as np
+
+    np.asarray(out[0])
+
+
+def measure(reps: int, warmup: int = 1) -> float:
+    """Fragments/s of the jitted pairwise pipeline on this backend.
+
+    Defensive timing: distinct inputs per rep (defeats any memoization),
+    per-rep readback barrier, two passes averaged (slower pass wins if
+    they disagree by >2x).
+    """
+    f, (params, points, mask) = build()
+    variants = [points + 1e-4 * k for k in range(max(reps, warmup))]
+    for k in range(warmup):
+        _sync(f(params, variants[k], mask))
+
+    def one_pass():
+        t0 = time.perf_counter()
+        for k in range(reps):
+            _sync(f(params, variants[k], mask))
+        return (time.perf_counter() - t0) / reps
+
+    dts = [one_pass(), one_pass()]
+    dt = max(dts) if max(dts) > 2 * min(dts) else sum(dts) / 2
+    return (BATCH_PAIRS * 2) / dt
+
+
+def cpu_baseline() -> float:
+    """CPU fragments/s for the identical program (cached)."""
+    if os.path.exists(CPU_CACHE):
+        with open(CPU_CACHE) as fh:
+            return json.load(fh)["fragments_per_s"]
+    env = dict(os.environ)
+    env["JAX_PLATFORM_NAME"] = "cpu"
+    env.pop("JAX_PLATFORMS", None)
+    out = subprocess.run(
+        [sys.executable, __file__, "--cpu-measure"],
+        capture_output=True, text=True, env=env, timeout=3600,
+    )
+    line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+    val = json.loads(line)["fragments_per_s"]
+    with open(CPU_CACHE, "w") as fh:
+        json.dump({"fragments_per_s": val, "points": POINTS,
+                   "batch_pairs": BATCH_PAIRS}, fh)
+    return val
+
+
+def main():
+    if "--cpu-measure" in sys.argv:
+        import jax
+
+        jax.config.update("jax_platform_name", "cpu")
+        val = measure(reps=1, warmup=1)
+        print(json.dumps({"fragments_per_s": val}))
+        return
+
+    import jax
+
+    frag_s = measure(reps=5, warmup=2)
+    try:
+        base = cpu_baseline()
+        vs = frag_s / base if base > 0 else float("nan")
+    except Exception:
+        vs = float("nan")
+    print(
+        json.dumps(
+            {
+                "metric": "fragments_per_s_per_chip",
+                "value": round(frag_s, 3),
+                "unit": "fragments/s",
+                "vs_baseline": round(vs, 2) if vs == vs else None,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

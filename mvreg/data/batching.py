@@ -1,0 +1,62 @@
+"""Host-side batch construction for training.
+
+Counterpart of the reference's DataLoader collate path (SURVEY.md C11,
+§3.1): the reference voxelizes on host workers; here voxelization lives
+on-device (ops/voxel), so the host only assembles fixed-size padded
+arrays — cheap enough that a single process keeps the chip fed. A grain
+pipeline can replace this for real datasets without changing the batch
+contract.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from mvreg.data import synthetic
+from mvreg.train.loop import PairBatch
+
+
+def _relative_np(R0, t0, R1, t1):
+    """GT T_01 mapping fragment-0 coords into fragment 1 (numpy)."""
+    R = R1.T @ R0
+    t = R1.T @ (t0 - t1)
+    return R, t
+
+
+def synthetic_pair_batch(
+    seed: int,
+    batch_size: int,
+    points_per_fragment: int = 2048,
+    noise: float = 0.005,
+) -> PairBatch:
+    """Build a PairBatch of synthetic overlapping fragment pairs."""
+    pts = np.zeros((batch_size, 2, points_per_fragment, 3), np.float32)
+    msk = np.zeros((batch_size, 2, points_per_fragment), bool)
+    Rij = np.zeros((batch_size, 3, 3), np.float32)
+    tij = np.zeros((batch_size, 3), np.float32)
+    for b in range(batch_size):
+        scene = synthetic.make_pair(
+            seed * 10007 + b, points_per_fragment, noise
+        )
+        pts[b] = scene.points
+        msk[b] = scene.mask
+        R, t = _relative_np(
+            scene.R_gt[0], scene.t_gt[0], scene.R_gt[1], scene.t_gt[1]
+        )
+        Rij[b], tij[b] = R.astype(np.float32), t.astype(np.float32)
+    return PairBatch(points=pts, mask=msk, R_ij=Rij, t_ij=tij)
+
+
+def synthetic_pair_stream(
+    seed: int,
+    batch_size: int,
+    points_per_fragment: int = 2048,
+    noise: float = 0.005,
+):
+    """Infinite generator of PairBatches (deterministic in seed)."""
+    step = 0
+    while True:
+        yield synthetic_pair_batch(
+            seed + step, batch_size, points_per_fragment, noise
+        )
+        step += 1

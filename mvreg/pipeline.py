@@ -177,7 +177,7 @@ def register_pair(
     else:
         logits = jnp.where(corr_mask, 1e3, -1e3)
         w = corr_mask.astype(corr.dtype)
-    w_eff = w * corr_mask + 1e-9 * corr_mask
+    w_eff = w * corr_mask + 1e-3 * corr_mask
     R, t, _ = irls_kabsch(
         x, y, w_eff, num_iters=cfg.match.irls_iters,
         scale=cfg.match.irls_scale,

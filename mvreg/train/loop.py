@@ -1,0 +1,225 @@
+"""Jitted train step and training loop.
+
+Counterpart of the reference's epoch loop (`ref:lib/trainer.py::Trainer`,
+call stack SURVEY.md §3.1), redesigned TPU-first: the entire step —
+voxelize, descriptor UNet, matching, filtering, Procrustes, losses,
+backward, optimizer — is ONE compiled program; the batch of fragment
+pairs shards over the mesh's `edge` axis and gradient all-reduce is the
+pjit-inserted psum (SURVEY.md §2.4 DP row).
+
+Training stages mirror the reference protocol (descriptor pretrained,
+filtering/confidence trained on top — SURVEY.md §7 hard-part 3):
+  stage="descriptor"  hardest-contrastive only
+  stage="filter"      BCE + transformation + confidence (desc frozen)
+  stage="joint"       everything, soft-match gradients into the backbone
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, NamedTuple
+
+import optax
+
+import jax
+import jax.numpy as jnp
+
+from mvreg.config.schema import PipelineConfig
+from mvreg.core.metrics import rotation_error_deg, translation_error
+from mvreg.core.procrustes import irls_kabsch
+from mvreg.core.metrics import transformation_residuals
+from mvreg.models.fcgf import build_unet_plan
+from mvreg.models.filtering import edge_statistics
+from mvreg.ops.knn import mutual_match
+from mvreg.pipeline import Descriptors, make_models, select_keypoints
+from mvreg.train import losses as L
+from mvreg.train.state import TrainState, make_optimizer, merge_variables
+
+Array = jax.Array
+
+
+class PairBatch(NamedTuple):
+    """A batch of training fragment pairs (host-built, device-ready).
+
+    points: (B, 2, P, 3); mask: (B, 2, P)
+    R_ij, t_ij: (B, 3, 3), (B, 3) — GT transform fragment0 -> fragment1
+    """
+
+    points: Array
+    mask: Array
+    R_ij: Array
+    t_ij: Array
+
+
+def _descriptors_train(params, stats, cfg, points, mask):
+    """FCGF forward in train mode, returning updated batch stats."""
+    fcgf, _, _ = make_models(cfg)
+    plan = build_unet_plan(
+        points, mask, cfg.voxel.voxel_size, cfg.voxel.capacities,
+        cfg.voxel.kernel_size,
+    )
+    V0 = cfg.voxel.capacities[0]
+    feats = jnp.ones((points.shape[0], V0, 1)) * plan.masks[0][..., None]
+    desc, upd = fcgf.apply(
+        {"params": params["fcgf"], "batch_stats": stats["fcgf"]},
+        plan, feats, train=True, mutable=["batch_stats"],
+    )
+    g = plan.grids[0]
+    centers = g.origin[:, None, :] + (
+        g.coords.astype(points.dtype) + 0.5
+    ) * g.voxel_size[:, None, None]
+    centers = centers * plan.masks[0][..., None]
+    d = Descriptors(feats=desc, centers=centers, mask=plan.masks[0])
+    return d, upd["batch_stats"]
+
+
+def loss_fn(
+    params: Any,
+    stats: Any,
+    cfg: PipelineConfig,
+    batch: PairBatch,
+    stage: str,
+) -> tuple[Array, tuple[Any, dict]]:
+    """Combined loss over a batch of pairs. Returns (loss, (stats, metrics))."""
+    B, _, P, _ = batch.points.shape
+    flat_pts = batch.points.reshape(B * 2, P, 3)
+    flat_mask = batch.mask.reshape(B * 2, P)
+
+    if stage == "filter":
+        params_desc = jax.lax.stop_gradient(params)
+    else:
+        params_desc = params
+    desc, new_fcgf_stats = _descriptors_train(
+        params_desc, stats, cfg, flat_pts, flat_mask
+    )
+    d0 = jax.tree_util.tree_map(lambda a: a.reshape(B, 2, *a.shape[1:])[:, 0], desc)
+    d1 = jax.tree_util.tree_map(lambda a: a.reshape(B, 2, *a.shape[1:])[:, 1], desc)
+
+    metrics = {}
+    total = jnp.zeros(())
+
+    # --- descriptor: hardest-contrastive over each pair
+    if stage in ("descriptor", "joint"):
+        contr = jax.vmap(
+            lambda da, ca, ma, db, cb, mb, R, t: L.hardest_contrastive_loss(
+                da, ca, ma, db, cb, mb, R, t,
+                pos_radius=1.5 * cfg.voxel.voxel_size,
+                safe_radius=4.0 * cfg.voxel.voxel_size,
+            )
+        )(d0.feats, d0.centers, d0.mask, d1.feats, d1.centers, d1.mask,
+          batch.R_ij, batch.t_ij)
+        contr = jnp.mean(contr)
+        metrics["loss_contrastive"] = contr
+        total = total + contr
+
+    # --- filtering + pose + confidence on matched correspondences
+    if stage in ("filter", "joint"):
+        _, fnet, cnet = make_models(cfg)
+        K = cfg.match.num_corr
+
+        def pair_corr(da, db):
+            fd, fc, fm = select_keypoints(da.feats, da.centers, da.mask, K)
+            desc_for_match = jax.lax.stop_gradient  # NN match is not diff.
+            idx, _, mut = mutual_match(
+                desc_for_match(fd), fm,
+                desc_for_match(db.feats), db.mask,
+            )
+            y = db.centers[idx]
+            cm = fm & mut
+            return fc * cm[:, None], y * cm[:, None], cm
+
+        x, y, cm = jax.vmap(pair_corr)(d0, d1)
+        corr = jnp.concatenate([x, y], axis=-1)
+        (logits, w), fupd = fnet.apply(
+            {"params": params["filter"], "batch_stats": stats["filter"]},
+            corr, cm.astype(corr.dtype), train=True,
+            mutable=["batch_stats"],
+        )
+        labels = L.inlier_labels(
+            x, y, batch.R_ij, batch.t_ij, cm,
+            tau=cfg.filter.inlier_threshold,
+        )
+        cls = L.classification_loss(logits, labels, cm)
+        metrics["loss_classification"] = cls
+        total = total + cls
+
+        # Uniform 1e-3 prior mass: Kabsch is weight-scale-invariant, so
+        # this barely moves the solution when the filter is confident, but
+        # bounds d(1/Σw) when it outputs ~zero everywhere (NaN guard).
+        w_eff = w * cm + 1e-3 * cm
+        R_est, t_est, _ = jax.vmap(
+            lambda xx, yy, ww: irls_kabsch(
+                xx, yy, ww, cfg.match.irls_iters, cfg.match.irls_scale
+            )
+        )(x, y, w_eff)
+        # Pose loss only on pairs with enough GT inliers among the putative
+        # matches — a pair whose matches contain no true correspondences
+        # cannot supervise the pose (the reference trains only on >30%%-
+        # overlap pairs for the same reason, SURVEY.md C11).
+        has_inl = (jnp.sum(labels * cm, axis=-1) >= 10).astype(w.dtype)
+        rot_l = jnp.sum((R_est - batch.R_ij) ** 2, axis=(-2, -1))
+        tr_l = jnp.sum((t_est - batch.t_ij) ** 2, axis=-1)
+        tl = jnp.sum((rot_l + tr_l) * has_inl) / jnp.maximum(
+            jnp.sum(has_inl), 1.0
+        )
+        metrics["loss_transformation"] = tl
+        metrics["frac_supervised_pairs"] = jnp.mean(has_inl)
+        total = total + 0.3 * tl
+
+        # confidence: predict pairwise success (rot err < 15 deg)
+        res = transformation_residuals(R_est, t_est, x, y)
+        stats_e = edge_statistics(w, cm.astype(w.dtype), res)
+        conf = cnet.apply({"params": params["confidence"]}, stats_e)
+        rot_err = rotation_error_deg(R_est, batch.R_ij)
+        success = (rot_err < 15.0).astype(conf.dtype)
+        conf_bce = -jnp.mean(
+            success * jnp.log(conf + 1e-6)
+            + (1 - success) * jnp.log(1 - conf + 1e-6)
+        )
+        metrics["loss_confidence"] = conf_bce
+        total = total + 0.3 * conf_bce
+
+        metrics["rot_err_deg"] = jnp.mean(rot_err)
+        metrics["trans_err"] = jnp.mean(
+            translation_error(t_est, batch.t_ij)
+        )
+        npos = jnp.maximum(jnp.sum(labels * cm), 1.0)
+        metrics["inlier_recall"] = jnp.sum((w > 0.5) * labels * cm) / npos
+
+    new_stats = dict(stats)
+    new_stats["fcgf"] = new_fcgf_stats
+    if stage in ("filter", "joint"):
+        new_stats["filter"] = fupd["batch_stats"]
+    metrics["loss_total"] = total
+    return total, (new_stats, metrics)
+
+
+def make_train_step(
+    cfg: PipelineConfig, stage: str = "joint"
+) -> Callable[[TrainState, PairBatch], tuple[TrainState, dict]]:
+    """Build the jitted train step (donated state for in-place updates)."""
+    tx = make_optimizer(cfg)
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def step(state: TrainState, batch: PairBatch):
+        (loss, (new_stats, metrics)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params, state.batch_stats, cfg, batch, stage)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        return (
+            TrainState(
+                step=state.step + 1,
+                params=new_params,
+                batch_stats=new_stats,
+                opt_state=new_opt,
+            ),
+            metrics,
+        )
+
+    return step
+
+
+def registration_params(state: TrainState):
+    """Extract inference-ready RegistrationParams from a train state."""
+    return merge_variables(state.params, state.batch_stats)

