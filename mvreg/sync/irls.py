@@ -44,11 +44,12 @@ class SyncResult(NamedTuple):
     residuals: Array  # (E,) final per-edge consistency residuals
 
 
-def rotation_sync(
-    edge_idx: Array, R_ij: Array, c: Array, n_nodes: int
-) -> Array:
-    """Spectral rotation synchronization -> (N, 3, 3) absolute rotations."""
-    L = connection_laplacian(edge_idx, R_ij, c, n_nodes)
+def rotation_sync_from_laplacian(L: Array, n_nodes: int) -> Array:
+    """Spectral rotation sync from an assembled (3N, 3N) Laplacian.
+
+    Split out so the distributed path (edge-sharded partial assembly +
+    psum; mvreg/parallel/dist_sync.py) can share the spectral step.
+    """
     # Small diagonal shift: shifts the whole spectrum, leaves eigenvectors
     # unchanged, and keeps eigh well behaved if some node is isolated.
     L = L + 1e-6 * jnp.eye(3 * n_nodes, dtype=L.dtype)
@@ -63,6 +64,28 @@ def rotation_sync(
     return so3_project(jnp.swapaxes(blocks, -1, -2))
 
 
+def rotation_sync(
+    edge_idx: Array, R_ij: Array, c: Array, n_nodes: int
+) -> Array:
+    """Spectral rotation synchronization -> (N, 3, 3) absolute rotations."""
+    L = connection_laplacian(edge_idx, R_ij, c, n_nodes)
+    return rotation_sync_from_laplacian(L, n_nodes)
+
+
+def translation_solve(L: Array, b: Array, c_scale: Array) -> Array:
+    """Solve the gauge-fixed translation system from assembled (L, b).
+
+    Shared by the single-host and edge-sharded paths. `c_scale` is a
+    scalar weight scale (mean |c|) used to condition the gauge term.
+    """
+    n_nodes = L.shape[0]
+    mean_c = jnp.maximum(c_scale, 1e-8)
+    gauge = mean_c * jnp.ones((n_nodes, n_nodes), dtype=L.dtype) / n_nodes
+    A = L + gauge + 1e-6 * mean_c * jnp.eye(n_nodes, dtype=L.dtype)
+    t = jnp.linalg.solve(A, b)
+    return t - jnp.mean(t, axis=0, keepdims=True)
+
+
 def translation_sync(
     edge_idx: Array, R_nodes: Array, t_ij: Array, c: Array, n_nodes: int
 ) -> Array:
@@ -74,11 +97,7 @@ def translation_sync(
     """
     L = graph_laplacian(edge_idx, c, n_nodes)
     b = translation_rhs(edge_idx, R_nodes, t_ij, c, n_nodes)
-    mean_c = jnp.maximum(jnp.mean(jnp.abs(c)), 1e-8)
-    gauge = mean_c * jnp.ones((n_nodes, n_nodes), dtype=L.dtype) / n_nodes
-    A = L + gauge + 1e-6 * mean_c * jnp.eye(n_nodes, dtype=L.dtype)
-    t = jnp.linalg.solve(A, b)
-    return t - jnp.mean(t, axis=0, keepdims=True)
+    return translation_solve(L, b, jnp.mean(jnp.abs(c)))
 
 
 def consistency_residuals(
