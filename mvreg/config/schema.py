@@ -58,6 +58,7 @@ class SyncConfig:
     cauchy_b: float = 0.5
     confidence_threshold: float = 0.3  # prune edges below
     trans_scale: float = 1.0
+    refine_iters: int = 1  # pairwise<->sync refinement rounds (C8)
 
 
 @dataclass(frozen=True)

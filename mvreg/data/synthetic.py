@@ -56,20 +56,26 @@ def sample_world_surface(
     num_points: int = 200_000,
     extent: float = 4.0,
 ) -> np.ndarray:
-    """Sample a structured indoor-ish surface: floor heightfield, two walls,
-    and a handful of boxes/spheres. Returns (num_points, 3) float32."""
+    """Sample a structured indoor-ish surface: multi-frequency floor
+    heightfield, two walls, and scattered boxes/spheres. Deliberately
+    geometry-rich — descriptors can only localize on distinctive
+    structure, and a bland floor is globally self-similar (the contrastive
+    loss then floors out on impossible lookalike negatives).
+    Returns (num_points, 3) float32."""
     parts = []
-    n_floor = num_points // 2
+    n_floor = num_points // 3
     xy = rng.uniform(0, extent, size=(n_floor, 2))
-    freqs = rng.uniform(1.0, 3.0, size=(3, 2))
-    phases = rng.uniform(0, 2 * np.pi, size=3)
-    amps = rng.uniform(0.05, 0.15, size=3)
+    freqs = rng.uniform(1.0, 8.0, size=(6, 2))
+    phases = rng.uniform(0, 2 * np.pi, size=6)
+    amps = rng.uniform(0.03, 0.12, size=6) / np.sqrt(
+        np.linalg.norm(freqs, axis=1)
+    )
     z = sum(
         a * np.sin(xy @ f + p) for a, f, p in zip(amps, freqs, phases)
     )
     parts.append(np.column_stack([xy, z]))
 
-    n_wall = num_points // 6
+    n_wall = num_points // 8
     for axis in (0, 1):
         u = rng.uniform(0, extent, size=(n_wall,))
         v = rng.uniform(0, 1.8, size=(n_wall,))
@@ -81,19 +87,19 @@ def sample_world_surface(
         parts.append(pts)
 
     n_obj = num_points - n_floor - 2 * n_wall
-    n_each = max(n_obj // 4, 1)
-    for _ in range(4):
+    n_each = max(n_obj // 12, 1)
+    for _ in range(12):
         c = np.array(
             [rng.uniform(0.5, extent - 0.5), rng.uniform(0.5, extent - 0.5),
              rng.uniform(0.2, 0.8)]
         )
         if rng.random() < 0.5:  # sphere shell
-            r = rng.uniform(0.15, 0.4)
+            r = rng.uniform(0.08, 0.35)
             d = rng.normal(size=(n_each, 3))
             d /= np.linalg.norm(d, axis=-1, keepdims=True)
             parts.append(c + r * d)
         else:  # axis-aligned box shell
-            half = rng.uniform(0.15, 0.4, size=3)
+            half = rng.uniform(0.08, 0.35, size=3)
             face = rng.integers(0, 6, size=n_each)
             p = rng.uniform(-1, 1, size=(n_each, 3)) * half
             ax, sign = face % 3, np.where(face < 3, 1.0, -1.0)
@@ -113,6 +119,7 @@ def make_scene(
     extent: float = 4.0,
     world_points: int = 150_000,
     min_overlap_shift: float = 0.6,
+    rotation_mode: str = "gravity",
 ) -> Scene:
     """Generate a scene of partially-overlapping fragments with GT poses.
 
@@ -132,7 +139,30 @@ def make_scene(
         step = step / (np.linalg.norm(step) + 1e-9) * min_overlap_shift
         c = np.clip(c + step, [0.5, 0.5, -0.5], [extent - 0.5, extent - 0.5, 1.0])
 
-    R_gt = _random_rotation(rng, num_fragments)
+    if rotation_mode == "so3":
+        R_gt = _random_rotation(rng, num_fragments)
+    elif rotation_mode == "gravity":
+        # Scan-like poses: free yaw, modest tilt (3DMatch fragments come
+        # from a hand-held/gravity-aligned sensor; full random SO(3) makes
+        # the descriptor-invariance task much harder than the benchmark).
+        R_gt = np.zeros((num_fragments, 3, 3))
+        for k in range(num_fragments):
+            yaw = rng.uniform(0, 2 * np.pi)
+            tilt_axis = rng.normal(size=3)
+            tilt_axis[2] = 0.0
+            tilt_axis /= np.linalg.norm(tilt_axis) + 1e-9
+            tilt = rng.uniform(0, 0.3)
+            cz, sz = np.cos(yaw), np.sin(yaw)
+            Rz = np.array([[cz, -sz, 0], [sz, cz, 0], [0, 0, 1.0]])
+            K = np.array([
+                [0, -tilt_axis[2], tilt_axis[1]],
+                [tilt_axis[2], 0, -tilt_axis[0]],
+                [-tilt_axis[1], tilt_axis[0], 0],
+            ])
+            Rt = np.eye(3) + np.sin(tilt) * K + (1 - np.cos(tilt)) * K @ K
+            R_gt[k] = Rt @ Rz
+    else:
+        raise ValueError(f"unknown rotation_mode {rotation_mode}")
     t_gt = rng.uniform(-2.0, 2.0, size=(num_fragments, 3))
 
     P = points_per_fragment
@@ -165,6 +195,7 @@ def make_pair(
     points_per_fragment: int = 4096,
     noise: float = 0.005,
     overlap_shift: float = 0.5,
+    rotation_mode: str = "gravity",
 ) -> Scene:
     """Two-fragment scene (the 3DMatch-style pairwise training unit)."""
     return make_scene(
@@ -173,4 +204,5 @@ def make_pair(
         points_per_fragment=points_per_fragment,
         noise=noise,
         min_overlap_shift=overlap_shift,
+        rotation_mode=rotation_mode,
     )

@@ -1,0 +1,146 @@
+"""Pallas TPU kernel: streaming masked nearest-neighbor (argmin) matching.
+
+The matching stage's distance matrix (Na, Nb) never fits usefully in
+VMEM at fragment scale; this kernel streams column tiles of B through
+the MXU and keeps only a running (min, argmin) per row — the
+flash-attention pattern applied to NN search (SURVEY.md C3: replaces
+cKDTree / torch.cdist+argmin; [B:north_star] "Pallas kernels for
+voxel/KNN feature ops").
+
+Contract matches mvreg.ops.knn.nn_match: masked columns never win; the
+caller handles row masking. Distances returned are exact squared L2.
+
+Grid: (row_tiles, col_tiles), rows parallel, cols sequential; the output
+row block stays resident in VMEM across the column sweep.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+Array = jax.Array
+
+BIG = jnp.float32(1e30)
+
+
+def _argmin_kernel(a_ref, b_ref, bbias_ref, min_ref, idx_ref, *, tn: int):
+    j = pl.program_id(1)
+    a = a_ref[:]  # (TM, D)
+    b = b_ref[:]  # (TN, D)
+    # scores = ||a||^2 - 2 a.b + ||b||^2; drop the row-constant ||a||^2
+    # (doesn't change the argmin; the true sqdist is reconstructed by the
+    # wrapper). bbias carries ||b||^2 + BIG * (1 - valid).
+    scores = -2.0 * jnp.dot(
+        a, b.T, preferred_element_type=jnp.float32
+    ) + bbias_ref[:]  # (TM, TN) + (1, TN) broadcast
+    tile_min = jnp.min(scores, axis=1)  # (TM,)
+    tile_arg = jnp.argmin(scores, axis=1).astype(jnp.int32) + j * tn
+
+    @pl.when(j == 0)
+    def _():
+        min_ref[:] = tile_min[None, :]
+        idx_ref[:] = tile_arg[None, :]
+
+    @pl.when(j > 0)
+    def _():
+        cur = min_ref[:]
+        take = tile_min[None, :] < cur
+        min_ref[:] = jnp.where(take, tile_min[None, :], cur)
+        idx_ref[:] = jnp.where(take, tile_arg[None, :], idx_ref[:])
+
+
+def _pad_to(x: Array, n: int, axis: int, value=0) -> Array:
+    pad = n - x.shape[axis]
+    if pad <= 0:
+        return x
+    widths = [(0, 0)] * x.ndim
+    widths[axis] = (0, pad)
+    return jnp.pad(x, widths, constant_values=value)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("tile_m", "tile_n", "interpret")
+)
+def nn_match_pallas(
+    fa: Array,
+    mask_a: Array,
+    fb: Array,
+    mask_b: Array,
+    tile_m: int = 256,
+    tile_n: int = 512,
+    interpret: bool = False,
+) -> tuple[Array, Array]:
+    """Masked NN match a->b. Returns (idx (Na,), sqdist (Na,)).
+
+    Same contract as ops.knn.nn_match (rows with ~mask_a get idx 0 and
+    BIG distance).
+    """
+    Na, D = fa.shape
+    Nb = fb.shape[0]
+    R = pl.cdiv(Na, tile_m)
+    C = pl.cdiv(Nb, tile_n)
+    fa_p = _pad_to(fa.astype(jnp.float32), R * tile_m, 0)
+    fb_p = _pad_to(fb.astype(jnp.float32), C * tile_n, 0)
+    b2 = jnp.sum(fb * fb, axis=-1).astype(jnp.float32)
+    bbias = jnp.where(mask_b.astype(bool), b2, BIG)
+    bbias = _pad_to(bbias, C * tile_n, 0, value=BIG)[None, :]  # (1, NbP)
+
+    grid = (R, C)
+    out_min, out_idx = pl.pallas_call(
+        functools.partial(_argmin_kernel, tn=tile_n),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(
+                (tile_m, D), lambda i, j: (i, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (tile_n, D), lambda i, j: (j, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, tile_n), lambda i, j: (0, j), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=[
+            pl.BlockSpec(
+                (1, tile_m), lambda i, j: (i, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, tile_m), lambda i, j: (i, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((R, tile_m), jnp.float32),
+            jax.ShapeDtypeStruct((R, tile_m), jnp.int32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(fa_p, fb_p, bbias)
+
+    min_flat = out_min.reshape(-1)[:Na]
+    idx_flat = out_idx.reshape(-1)[:Na]
+    # Reconstruct true sqdist: add back ||a||^2, clamp tiny negatives.
+    a2 = jnp.sum(fa * fa, axis=-1).astype(jnp.float32)
+    d2 = jnp.maximum(min_flat + a2, 0.0)
+    ma = mask_a.astype(bool)
+    idx_flat = jnp.where(ma, jnp.minimum(idx_flat, Nb - 1), 0)
+    d2 = jnp.where(ma, d2, BIG)
+    return idx_flat, d2
+
+
+def mutual_match_pallas(
+    fa: Array, mask_a: Array, fb: Array, mask_b: Array, **kw
+) -> tuple[Array, Array, Array]:
+    """Mutual-consistency match using the streaming kernel both ways."""
+    idx_ab, d2_ab = nn_match_pallas(fa, mask_a, fb, mask_b, **kw)
+    idx_ba, _ = nn_match_pallas(fb, mask_b, fa, mask_a, **kw)
+    mutual = (idx_ba[idx_ab] == jnp.arange(fa.shape[0], dtype=jnp.int32)) & (
+        mask_a.astype(bool)
+    )
+    return idx_ab, d2_ab, mutual

@@ -19,6 +19,7 @@ import jax.numpy as jnp
 
 from mvreg.config.schema import PipelineConfig
 from mvreg.core.metrics import transformation_residuals
+from mvreg.core.transforms import relative as tf_relative
 from mvreg.core.procrustes import irls_kabsch, kabsch
 from mvreg.models.fcgf import FCGF, build_unet_plan
 from mvreg.models.filtering import ConfidenceNet, FilteringNet, edge_statistics
@@ -232,4 +233,31 @@ def register_scene(
         num_iters=cfg.sync.num_iters, cauchy_b=cfg.sync.cauchy_b,
         trans_scale=cfg.sync.trans_scale,
     )
+
+    # Pairwise <-> sync refinement (SURVEY.md C8, paper §3.3): re-weight
+    # each edge's correspondences by their residual under the *synced*
+    # relative pose, re-solve Procrustes, re-synchronize. Fixed iteration
+    # count keeps it one static program.
+    for _ in range(cfg.sync.refine_iters):
+        i, j = edge_idx[:, 0], edge_idx[:, 1]
+        R_se, t_se = tf_relative(
+            sync.R[i], sync.t[i], sync.R[j], sync.t[j]
+        )
+        res_sync = transformation_residuals(R_se, t_se, pairs.x, pairs.y)
+        w_ref = (
+            (pairs.weights + 1e-3)
+            * pairs.corr_mask
+            / (1.0 + (res_sync / cfg.match.irls_scale) ** 2)
+        )
+        R2, t2, _ = jax.vmap(
+            lambda xx, yy, ww: irls_kabsch(
+                xx, yy, ww, cfg.match.irls_iters, cfg.match.irls_scale
+            )
+        )(pairs.x, pairs.y, w_ref)
+        pairs = pairs._replace(R=R2, t=t2)
+        sync = synchronize(
+            edge_idx, pairs.R, pairs.t, jnp.maximum(sync.weights, 1e-3 * c_init),
+            n_nodes=N, num_iters=cfg.sync.num_iters,
+            cauchy_b=cfg.sync.cauchy_b, trans_scale=cfg.sync.trans_scale,
+        )
     return SceneResult(edge_idx=edge_idx, pairs=pairs, sync=sync)

@@ -1,0 +1,63 @@
+"""Pallas streaming-argmin kernel vs the XLA reference (interpret mode on
+CPU; compiled-mode parity is exercised on the chip by bench/verify runs)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mvreg.ops.knn import mutual_match, nn_match
+from mvreg.ops.pallas.match_argmin import mutual_match_pallas, nn_match_pallas
+
+KW = dict(tile_m=128, tile_n=128, interpret=True)
+
+
+def test_pallas_argmin_matches_reference():
+    ka, kb = jax.random.split(jax.random.PRNGKey(0))
+    fa = jax.random.normal(ka, (300, 32))
+    fb = jax.random.normal(kb, (450, 32))
+    ma, mb = jnp.ones(300, bool), jnp.ones(450, bool)
+    idx_ref, d2_ref = nn_match(fa, ma, fb, mb)
+    idx, d2 = nn_match_pallas(fa, ma, fb, mb, **KW)
+    np.testing.assert_array_equal(np.asarray(idx), np.asarray(idx_ref))
+    np.testing.assert_allclose(np.asarray(d2), np.asarray(d2_ref),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_pallas_argmin_masked_columns():
+    fa = jnp.eye(4, 16)
+    fb = jnp.concatenate([jnp.eye(4, 16) * 0.9, jnp.eye(4, 16)], axis=0)
+    mb = jnp.arange(8) < 4  # exact matches masked out
+    idx, d2 = nn_match_pallas(fa, jnp.ones(4, bool), fb, mb, **KW)
+    assert (np.asarray(idx) < 4).all()
+    ma = jnp.array([True, False, True, False])
+    idx, d2 = nn_match_pallas(fa, ma, fb, mb, **KW)
+    assert np.asarray(d2)[1] > 1e29
+
+
+def test_pallas_argmin_nonaligned_sizes():
+    # sizes not multiples of the tiles
+    fa = jax.random.normal(jax.random.PRNGKey(1), (77, 24))
+    fb = jax.random.normal(jax.random.PRNGKey(2), (203, 24))
+    ma = jnp.ones(77, bool).at[70:].set(False)
+    mb = jnp.ones(203, bool).at[190:].set(False)
+    idx_ref, d2_ref = nn_match(fa, ma, fb, mb)
+    idx, d2 = nn_match_pallas(fa, ma, fb, mb, **KW)
+    m = np.asarray(ma)
+    np.testing.assert_array_equal(np.asarray(idx)[m], np.asarray(idx_ref)[m])
+    np.testing.assert_allclose(
+        np.asarray(d2)[m], np.asarray(d2_ref)[m], rtol=1e-4, atol=1e-4
+    )
+
+
+def test_pallas_mutual_matches_reference():
+    key = jax.random.PRNGKey(3)
+    fb = jax.random.normal(key, (160, 16))
+    perm = jax.random.permutation(jax.random.PRNGKey(4), 160)
+    fa = fb[perm] + 1e-4
+    ma = jnp.ones(160, bool)
+    idx, d2, mut = mutual_match_pallas(fa, ma, fb, ma, **KW)
+    idx_ref, _, mut_ref = mutual_match(fa, ma, fb, ma)
+    np.testing.assert_array_equal(np.asarray(idx), np.asarray(idx_ref))
+    np.testing.assert_array_equal(np.asarray(mut), np.asarray(mut_ref))
+    assert bool(mut.all())
