@@ -122,7 +122,8 @@ def cpu_baseline() -> float:
             return json.load(fh)["fragments_per_s"]
     env = dict(os.environ)
     env["JAX_PLATFORM_NAME"] = "cpu"
-    env.pop("JAX_PLATFORMS", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    env.pop("PALLAS_AXON_POOL_IPS", None)  # don't claim/block the TPU
     out = subprocess.run(
         [sys.executable, __file__, "--cpu-measure"],
         capture_output=True, text=True, env=env, timeout=3600,

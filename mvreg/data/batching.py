@@ -52,11 +52,33 @@ def synthetic_pair_stream(
     batch_size: int,
     points_per_fragment: int = 2048,
     noise: float = 0.005,
+    pool_pairs: int = 0,
 ):
-    """Infinite generator of PairBatches (deterministic in seed)."""
-    step = 0
-    while True:
-        yield synthetic_pair_batch(
-            seed + step, batch_size, points_per_fragment, noise
+    """Generator of PairBatches (deterministic in seed).
+
+    pool_pairs == 0: a fresh scene every step (infinite-data regime).
+    pool_pairs > 0:  pregenerate a fixed dataset of `pool_pairs` pairs and
+    cycle it with reshuffling — the reference's epoch regime (a fixed
+    3DMatch pair list, SURVEY.md C11), which the descriptor needs to make
+    optimization progress rather than chasing a nonstationary stream.
+    """
+    if pool_pairs <= 0:
+        step = 0
+        while True:
+            yield synthetic_pair_batch(
+                seed + step, batch_size, points_per_fragment, noise
+            )
+            step += 1
+        return
+
+    n_batches = (pool_pairs + batch_size - 1) // batch_size
+    pool = [
+        synthetic_pair_batch(
+            seed + k, batch_size, points_per_fragment, noise
         )
-        step += 1
+        for k in range(n_batches)
+    ]
+    rng = np.random.default_rng(seed)
+    while True:
+        for k in rng.permutation(n_batches):
+            yield pool[k]

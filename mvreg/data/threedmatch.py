@@ -173,3 +173,45 @@ def load_scene_dir(path: str) -> SceneOnDisk:
         gt_pairs=gt_pairs,
         gt_infos=gt_infos,
     )
+
+
+# --- Training-set format (SURVEY.md C11): the reference trains on
+# preprocessed 3DMatch fragment pairs listed in overlap files and stored
+# as .npz point clouds (FCGF preprocessing).
+
+def load_npz_fragment(path: str, key: str = "pcd") -> np.ndarray:
+    """Load a preprocessed fragment .npz -> (N, 3) float32.
+
+    FCGF's preprocessing stores clouds under 'pcd' (xyz) and optionally
+    'color'; fall back to the first 3-column array found.
+    """
+    data = np.load(path)
+    if key in data:
+        return np.asarray(data[key], np.float32)[:, :3]
+    for k in data.files:
+        arr = np.asarray(data[k])
+        if arr.ndim == 2 and arr.shape[1] >= 3:
+            return arr[:, :3].astype(np.float32)
+    raise KeyError(f"no point array found in {path} (keys: {data.files})")
+
+
+class TrainPair(NamedTuple):
+    file_i: str
+    file_j: str
+    overlap: float
+
+
+def read_overlap_list(path: str, min_overlap: float = 0.3) -> list[TrainPair]:
+    """Parse an FCGF-style overlap list: '<frag_i> <frag_j> <overlap>' per
+    line; keep pairs above `min_overlap` (the reference trains on >30%
+    overlap pairs)."""
+    pairs = []
+    with open(path) as f:
+        for line in f:
+            parts = line.split()
+            if len(parts) < 3:
+                continue
+            ov = float(parts[2])
+            if ov >= min_overlap:
+                pairs.append(TrainPair(parts[0], parts[1], ov))
+    return pairs

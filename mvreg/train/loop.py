@@ -100,7 +100,7 @@ def loss_fn(
 
     # --- descriptor: hardest-contrastive over each pair
     if stage in ("descriptor", "joint"):
-        contr = jax.vmap(
+        contr, caux = jax.vmap(
             lambda da, ca, ma, db, cb, mb, R, t: L.hardest_contrastive_loss(
                 da, ca, ma, db, cb, mb, R, t,
                 pos_radius=1.5 * cfg.voxel.voxel_size,
@@ -110,6 +110,9 @@ def loss_fn(
           batch.R_ij, batch.t_ij)
         contr = jnp.mean(contr)
         metrics["loss_contrastive"] = contr
+        metrics["d_pos"] = jnp.mean(caux["d_pos"])
+        metrics["d_neg"] = jnp.mean(caux["d_neg"])
+        metrics["n_pos_pairs"] = jnp.mean(caux["n_pos_pairs"])
         total = total + contr
 
     # --- filtering + pose + confidence on matched correspondences

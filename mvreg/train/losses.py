@@ -162,4 +162,10 @@ def hardest_contrastive_loss(
     l_pos = jnp.sum(jnp.maximum(d_pos - pos_margin, 0) ** 2 * v) / nv
     l_neg_a = jnp.sum(jnp.maximum(neg_margin - d_neg_a, 0) ** 2 * v) / nv
     l_neg_b = jnp.sum(jnp.maximum(neg_margin - d_neg_b, 0) ** 2 * v) / nv
-    return l_pos + 0.5 * (l_neg_a + l_neg_b)
+    loss = l_pos + 0.5 * (l_neg_a + l_neg_b)
+    aux = {
+        "d_pos": jnp.sum(d_pos * v) / nv,
+        "d_neg": jnp.sum(d_neg_a * jnp.minimum(v, 1.0)) / nv,
+        "n_pos_pairs": jnp.sum(v),
+    }
+    return loss, aux

@@ -30,6 +30,8 @@ def main() -> None:
     ap.add_argument("--ckpt-dir", type=str, default="runs/default")
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--points", type=int, default=2048)
+    ap.add_argument("--pool-pairs", type=int, default=256,
+                    help="fixed dataset size (0 = fresh scene per step)")
     ap.add_argument("--log-every", type=int, default=10)
     ap.add_argument("--set", action="append", default=[],
                     help="dotted config override, e.g. train.batch_pairs=8")
@@ -70,7 +72,8 @@ def main() -> None:
     step_fn = make_train_step(cfg, stage=args.stage)
     mlog = MetricLogger(os.path.join(args.ckpt_dir, "tb"), args.log_every)
     stream = synthetic_pair_stream(
-        cfg.train.seed, cfg.train.batch_pairs, args.points
+        cfg.train.seed, cfg.train.batch_pairs, args.points,
+        pool_pairs=args.pool_pairs,
     )
 
     start = int(state.step)

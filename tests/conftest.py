@@ -16,6 +16,11 @@ import sys
 _FLAG = "--xla_force_host_platform_device_count=8"
 if _FLAG not in os.environ.get("XLA_FLAGS", ""):
     os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "") + " " + _FLAG).strip()
+# Keep test subprocesses off the axon TPU entirely: the relay admits one
+# client at a time, so a "CPU" test that still registers the axon plugin
+# blocks any real TPU job on the box.
+os.environ.pop("PALLAS_AXON_POOL_IPS", None)
+os.environ["JAX_PLATFORMS"] = "cpu"
 
 import jax  # noqa: E402
 

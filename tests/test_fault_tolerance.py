@@ -1,0 +1,88 @@
+"""Failure detection / elastic recovery (SURVEY.md §5.3).
+
+The reference's crash story is "lose everything since the last
+torch.save". Here: orbax checkpoints every K steps; this test kills a
+training process mid-run (SIGKILL, as a preemption would) and asserts the
+restarted process resumes from the last checkpoint and finishes.
+"""
+
+import os
+import signal
+import subprocess
+import sys
+import time
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+TINY_ARGS = [
+    "--stage", "descriptor", "--points", "384", "--pool-pairs", "4",
+    "--log-every", "1",
+    "--set", "voxel.capacities=(256,128,64,32)",
+    "--set", "voxel.voxel_size=0.08",
+    "--set", "model.channels=(4,8,8,16)",
+    "--set", "model.descriptor_dim=8",
+    "--set", "match.num_corr=64",
+    "--set", "filter.channels=16",
+    "--set", "filter.num_clusters=8",
+    "--set", "filter.blocks_before=1",
+    "--set", "filter.blocks_cluster=1",
+    "--set", "filter.blocks_after=1",
+    "--set", "train.batch_pairs=2",
+    "--set", "train.checkpoint_every=2",
+]
+
+
+def _run(ckpt_dir, steps, resume=False, kill_after=None):
+    env = dict(os.environ)
+    env["JAX_PLATFORM_NAME"] = "cpu"
+    env["JAX_PLATFORMS"] = "cpu"
+    env.pop("PALLAS_AXON_POOL_IPS", None)  # never claim the TPU relay
+    cmd = [
+        sys.executable, os.path.join(REPO, "scripts", "train.py"),
+        "--steps", str(steps), "--ckpt-dir", str(ckpt_dir), *TINY_ARGS,
+    ]
+    if resume:
+        cmd.append("--resume")
+    proc = subprocess.Popen(
+        cmd, env=env, cwd=REPO,
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+    )
+    if kill_after is None:
+        out, _ = proc.communicate(timeout=600)
+        return proc.returncode, out
+    # Wait until at least one checkpoint exists, then SIGKILL (preemption).
+    deadline = time.time() + 600
+    while time.time() < deadline:
+        steps_done = [
+            d for d in (os.listdir(ckpt_dir) if os.path.isdir(ckpt_dir) else [])
+            if d.isdigit()
+        ]
+        if steps_done and int(max(steps_done, key=int)) >= kill_after:
+            break
+        if proc.poll() is not None:
+            out, _ = proc.communicate()
+            raise AssertionError(f"process exited early:\n{out[-2000:]}")
+        time.sleep(1.0)
+    else:
+        proc.kill()
+        raise AssertionError("no checkpoint appeared before deadline")
+    os.kill(proc.pid, signal.SIGKILL)
+    proc.wait(timeout=60)
+    return -9, ""
+
+
+@pytest.mark.slow
+def test_kill_and_resume(tmp_path):
+    ckpt = str(tmp_path / "ckpt")
+    rc, _ = _run(ckpt, steps=4, kill_after=2)
+    assert rc == -9
+    saved = sorted(int(d) for d in os.listdir(ckpt) if d.isdigit())
+    assert saved and saved[-1] >= 2
+
+    rc, out = _run(ckpt, steps=6, resume=True)
+    assert rc == 0, out[-2000:]
+    assert "resumed from step" in out
+    saved = sorted(int(d) for d in os.listdir(ckpt) if d.isdigit())
+    assert saved[-1] == 6, saved
