@@ -24,7 +24,8 @@ from typing import NamedTuple
 
 import numpy as np
 
-from mvreg.data.threedmatch import read_ply, write_ply
+from mvreg.data.native_io import read_ply
+from mvreg.data.threedmatch import write_ply
 
 
 class ScanNetScene(NamedTuple):

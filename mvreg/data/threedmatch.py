@@ -158,12 +158,16 @@ class SceneOnDisk(NamedTuple):
 
 
 def load_scene_dir(path: str) -> SceneOnDisk:
-    """Load a 3DMatch-layout scene dir: cloud_bin_*.ply + gt.log [+ gt.info]."""
+    """Load a 3DMatch-layout scene dir: cloud_bin_*.ply + gt.log [+ gt.info].
+
+    Uses the native PLY parser when built (mvreg.data.native_io)."""
+    from mvreg.data import native_io
+
     frag_files = sorted(
         (f for f in os.listdir(path) if f.endswith(".ply")),
         key=lambda s: int("".join(c for c in s if c.isdigit()) or 0),
     )
-    fragments = [read_ply(os.path.join(path, f)) for f in frag_files]
+    fragments = [native_io.read_ply(os.path.join(path, f)) for f in frag_files]
     gt_pairs = read_gt_log(os.path.join(path, "gt.log"))
     info_path = os.path.join(path, "gt.info")
     gt_infos = read_gt_info(info_path) if os.path.exists(info_path) else None
