@@ -38,6 +38,8 @@ CFG_OVERRIDES = {
     "filter.blocks_before": 2,
     "filter.blocks_cluster": 2,
     "filter.blocks_after": 2,
+    "model.compute_dtype": "bfloat16",  # MXU fast path (f32 CPU baseline
+    # kept: each backend runs its best practical precision)
 }
 
 

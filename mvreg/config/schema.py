@@ -31,6 +31,7 @@ class VoxelConfig:
 class ModelConfig:
     channels: tuple[int, ...] = (32, 64, 128, 256)
     descriptor_dim: int = 32
+    compute_dtype: str = "float32"  # "bfloat16" for the fast MXU path
 
 
 @dataclass(frozen=True)

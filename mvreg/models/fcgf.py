@@ -92,10 +92,15 @@ def build_unet_plan(
 
 
 class SparseConv(nn.Module):
-    """Batched sparse conv layer (shared weights, vmapped over fragments)."""
+    """Batched sparse conv layer (shared weights, vmapped over fragments).
+
+    `dtype` is the compute dtype (bfloat16 halves gather bytes and doubles
+    MXU rate); parameters and accumulation stay float32.
+    """
 
     features: int
     kernel_volume: int = 27
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: Array, kmap: Array, mask: Array) -> Array:
@@ -105,13 +110,18 @@ class SparseConv(nn.Module):
             nn.initializers.variance_scaling(1.0, "fan_in", "normal"),
             (self.kernel_volume, Cin, self.features),
         )
-        return jax.vmap(lambda f, k, m: sparse_conv(f, k, W, m))(x, kmap, mask)
+        Wc = W.astype(self.dtype)
+        xc = x.astype(self.dtype)
+        return jax.vmap(lambda f, k, m: sparse_conv(f, k, Wc, m))(
+            xc, kmap, mask
+        )
 
 
 class SparseDown(nn.Module):
     """Stride-2 generative down conv over the octant pool map."""
 
     features: int
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: Array, pool, num_coarse: int) -> Array:
@@ -121,15 +131,18 @@ class SparseDown(nn.Module):
             nn.initializers.variance_scaling(1.0, "fan_in", "normal"),
             (8, Cin, self.features),
         )
+        Wc = W.astype(self.dtype)
+        xc = x.astype(self.dtype)
         return jax.vmap(
-            lambda f, p: sparse_conv_down(f, p, W, num_coarse)
-        )(x, pool)
+            lambda f, p: sparse_conv_down(f, p, Wc, num_coarse)
+        )(xc, pool)
 
 
 class SparseUp(nn.Module):
     """Stride-2 transpose conv over the octant pool map."""
 
     features: int
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: Array, pool, fine_mask: Array) -> Array:
@@ -139,64 +152,74 @@ class SparseUp(nn.Module):
             nn.initializers.variance_scaling(1.0, "fan_in", "normal"),
             (8, Cin, self.features),
         )
+        Wc = W.astype(self.dtype)
+        xc = x.astype(self.dtype)
         return jax.vmap(
-            lambda f, p, m: sparse_conv_up(f, p, W, m)
-        )(x, pool, fine_mask)
+            lambda f, p, m: sparse_conv_up(f, p, Wc, m)
+        )(xc, pool, fine_mask)
 
 
 class ResBlock(nn.Module):
     features: int
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: Array, kmap: Array, mask: Array, train: bool) -> Array:
-        h = SparseConv(self.features)(x, kmap, mask)
+        h = SparseConv(self.features, dtype=self.dtype)(x, kmap, mask)
         h = MaskedBatchNorm()(h, mask, train)
         h = nn.relu(h)
-        h = SparseConv(self.features)(h, kmap, mask)
+        h = SparseConv(self.features, dtype=self.dtype)(h, kmap, mask)
         h = MaskedBatchNorm()(h, mask, train)
         return nn.relu(h + x)
 
 
 class FCGF(nn.Module):
-    """Sparse ResUNet descriptor: (plan, feats) -> 32-D unit descriptors."""
+    """Sparse ResUNet descriptor: (plan, feats) -> 32-D unit descriptors.
+
+    `compute_dtype="bfloat16"` runs the conv stack in bf16 (f32 params,
+    f32 BatchNorm and output head) — the standard TPU mixed-precision
+    recipe.
+    """
 
     channels: Sequence[int] = (32, 64, 128, 256)
     out_dim: int = 32
+    compute_dtype: str = "float32"
 
     @nn.compact
     def __call__(self, plan: UNetPlan, feats: Array, train: bool = False) -> Array:
         c = self.channels
+        dt = jnp.dtype(self.compute_dtype)
         masks, kmaps, pools = plan.masks, plan.kmaps, plan.pools
         caps = [m.shape[-1] for m in masks]
 
         # Stem
-        h0 = SparseConv(c[0])(feats, kmaps[0], masks[0])
+        h0 = SparseConv(c[0], dtype=dt)(feats, kmaps[0], masks[0])
         h0 = MaskedBatchNorm()(h0, masks[0], train)
         h0 = nn.relu(h0)
-        h0 = ResBlock(c[0])(h0, kmaps[0], masks[0], train)
+        h0 = ResBlock(c[0], dtype=dt)(h0, kmaps[0], masks[0], train)
 
         # Encoder
         skips = [h0]
         h = h0
         for l in range(1, len(c)):
-            h = SparseDown(c[l])(h, pools[l - 1], caps[l])
+            h = SparseDown(c[l], dtype=dt)(h, pools[l - 1], caps[l])
             h = MaskedBatchNorm()(h, masks[l], train)
             h = nn.relu(h)
-            h = ResBlock(c[l])(h, kmaps[l], masks[l], train)
+            h = ResBlock(c[l], dtype=dt)(h, kmaps[l], masks[l], train)
             skips.append(h)
 
         # Decoder
         for l in range(len(c) - 2, -1, -1):
             tr = max(c[l], 64) if l > 0 else 64
-            h = SparseUp(tr)(h, pools[l], masks[l])
+            h = SparseUp(tr, dtype=dt)(h, pools[l], masks[l])
             h = MaskedBatchNorm()(h, masks[l], train)
             h = nn.relu(h)
             h = jnp.concatenate([h, skips[l]], axis=-1)
-            h = SparseConv(tr)(h, kmaps[l], masks[l])
+            h = SparseConv(tr, dtype=dt)(h, kmaps[l], masks[l])
             h = MaskedBatchNorm()(h, masks[l], train)
             h = nn.relu(h)
             if l > 0:
-                h = ResBlock(tr)(h, kmaps[l], masks[l], train)
+                h = ResBlock(tr, dtype=dt)(h, kmaps[l], masks[l], train)
 
         # Head: 1x1 linear + L2 normalization (no nonlinearity, as in FCGF).
         # Smooth rsqrt form: finite gradient at the exact-zero padded rows.

@@ -62,7 +62,8 @@ class SceneResult(NamedTuple):
 
 def make_models(cfg: PipelineConfig):
     fcgf = FCGF(
-        channels=cfg.model.channels, out_dim=cfg.model.descriptor_dim
+        channels=cfg.model.channels, out_dim=cfg.model.descriptor_dim,
+        compute_dtype=cfg.model.compute_dtype,
     )
     fnet = FilteringNet(
         channels=cfg.filter.channels,
