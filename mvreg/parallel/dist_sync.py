@@ -48,24 +48,22 @@ from mvreg.sync.laplacian import (
 Array = jax.Array
 
 
-def synchronize_sharded(
+def make_sync_fn(
     mesh: Mesh,
-    edge_idx: Array,
-    R_ij: Array,
-    t_ij: Array,
-    c_init: Array,
     n_nodes: int,
+    num_edges: int,
     num_iters: int = 4,
     cauchy_b: float = 0.5,
     trans_scale: float = 1.0,
-) -> SyncResult:
-    """IRLS sync with edges sharded over the mesh's `edge` axis.
+):
+    """Build the jitted edge-sharded sync over `mesh`.
 
-    Inputs are global arrays (padded edges carry c_init == 0); E must be
-    divisible by the edge-axis size. Returns replicated poses and
-    edge-sharded weights/residuals (as global arrays).
+    Returned fn takes GLOBAL arrays (edge_idx, R_ij, t_ij, c_init) already
+    placed with an edge sharding — jax.device_put in the single-controller
+    case, or jax.make_array_from_process_local_data across hosts
+    (mvreg/parallel/multihost.py) — and returns (R, t, weights, residuals).
     """
-    E = edge_idx.shape[0]
+    E = num_edges
     n_dev = mesh.shape[EDGE_AXIS]
     assert E % n_dev == 0, f"edge count {E} not divisible by {n_dev} devices"
 
@@ -108,9 +106,31 @@ def synchronize_sharded(
         )
         return Rs[-1], ts[-1], c_final, rs[-1]
 
-    sharding = NamedSharding(mesh, espec)
+    return jax.jit(_run)
+
+
+def synchronize_sharded(
+    mesh: Mesh,
+    edge_idx: Array,
+    R_ij: Array,
+    t_ij: Array,
+    c_init: Array,
+    n_nodes: int,
+    num_iters: int = 4,
+    cauchy_b: float = 0.5,
+    trans_scale: float = 1.0,
+) -> SyncResult:
+    """Single-controller convenience wrapper: place + run the sharded sync.
+
+    Inputs are global arrays (padded edges carry c_init == 0); E must be
+    divisible by the edge-axis size.
+    """
+    fn = make_sync_fn(
+        mesh, n_nodes, edge_idx.shape[0], num_iters, cauchy_b, trans_scale
+    )
+    sharding = NamedSharding(mesh, P(EDGE_AXIS))
     args = [
         jax.device_put(x, sharding) for x in (edge_idx, R_ij, t_ij, c_init)
     ]
-    R, t, w, r = jax.jit(_run)(*args)
+    R, t, w, r = fn(*args)
     return SyncResult(R=R, t=t, weights=w, residuals=r)
