@@ -63,14 +63,23 @@ def build_unet_plan(
     voxel_size: float,
     capacities: Sequence[int],
     kernel_size: int = 3,
+    lookup: str = "hash",
 ) -> UNetPlan:
     """Voxelize a batch of fragments and precompute all level maps.
 
     points: (B, P, 3); point_mask: (B, P). capacities: voxel capacity per
     level (len = number of levels). All outputs are static-shaped.
+    `lookup` picks the neighbor-lookup backend: "hash" (scatter-built
+    open addressing, ~6 gather rounds) or "searchsorted" (binary search).
     """
     offsets = vx.neighbor_offsets(kernel_size)
     levels = len(capacities)
+    if lookup == "hash":
+        from mvreg.ops.hash_table import kernel_map_hashed as kmap_fn
+    elif lookup == "searchsorted":
+        kmap_fn = vx.kernel_map
+    else:
+        raise ValueError(f"unknown lookup backend {lookup}")
 
     def one_fragment(pts, pm):
         grids, pools = [], []
@@ -80,7 +89,7 @@ def build_unet_plan(
             g, pool = vx.coarsen(g, capacities[l])
             grids.append(g)
             pools.append(pool)
-        kmaps = [vx.kernel_map(g.keys, g.mask, offsets) for g in grids]
+        kmaps = [kmap_fn(g.keys, g.mask, offsets) for g in grids]
         masks = [g.mask for g in grids]
         counts = [g.num_voxels for g in grids]
         return tuple(masks), tuple(kmaps), tuple(pools), tuple(counts), tuple(grids)

@@ -84,7 +84,7 @@ def init_params(key: Array, cfg: PipelineConfig) -> RegistrationParams:
     pts = jax.random.uniform(k4, (1, P, 3), minval=0.0, maxval=1.0)
     plan = build_unet_plan(
         pts, jnp.ones((1, P), bool), cfg.voxel.voxel_size,
-        cfg.voxel.capacities, cfg.voxel.kernel_size,
+        cfg.voxel.capacities, cfg.voxel.kernel_size, cfg.voxel.lookup,
     )
     feats = jnp.ones((1, cfg.voxel.capacities[0], 1))
     fcgf_vars = fcgf.init(k1, plan, feats, train=False)
@@ -105,7 +105,7 @@ def extract_descriptors(
     fcgf, _, _ = make_models(cfg)
     plan = build_unet_plan(
         points, mask, cfg.voxel.voxel_size, cfg.voxel.capacities,
-        cfg.voxel.kernel_size,
+        cfg.voxel.kernel_size, cfg.voxel.lookup,
     )
     V0 = cfg.voxel.capacities[0]
     feats = jnp.ones((points.shape[0], V0, 1)) * plan.masks[0][..., None]

@@ -56,7 +56,7 @@ def _descriptors_train(params, stats, cfg, points, mask):
     fcgf, _, _ = make_models(cfg)
     plan = build_unet_plan(
         points, mask, cfg.voxel.voxel_size, cfg.voxel.capacities,
-        cfg.voxel.kernel_size,
+        cfg.voxel.kernel_size, cfg.voxel.lookup,
     )
     V0 = cfg.voxel.capacities[0]
     feats = jnp.ones((points.shape[0], V0, 1)) * plan.masks[0][..., None]
