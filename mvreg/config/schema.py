@@ -30,9 +30,12 @@ class VoxelConfig:
 
 @dataclass(frozen=True)
 class ModelConfig:
+    family: str = "fcgf"  # descriptor family: "fcgf" | "pointnet"
     channels: tuple[int, ...] = (32, 64, 128, 256)
     descriptor_dim: int = 32
     compute_dtype: str = "float32"  # "bfloat16" for the fast MXU path
+    pointnet_k: int = 32
+    pointnet_radius: float = 0.3
 
 
 @dataclass(frozen=True)

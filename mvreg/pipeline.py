@@ -61,10 +61,20 @@ class SceneResult(NamedTuple):
 
 
 def make_models(cfg: PipelineConfig):
-    fcgf = FCGF(
-        channels=cfg.model.channels, out_dim=cfg.model.descriptor_dim,
-        compute_dtype=cfg.model.compute_dtype,
-    )
+    if cfg.model.family == "pointnet":
+        from mvreg.models.pointnet import PointNetDescriptor
+
+        fcgf = PointNetDescriptor(
+            channels=cfg.model.channels[:3],
+            out_dim=cfg.model.descriptor_dim,
+            k_neighbors=cfg.model.pointnet_k,
+            patch_radius=cfg.model.pointnet_radius,
+        )
+    else:
+        fcgf = FCGF(
+            channels=cfg.model.channels, out_dim=cfg.model.descriptor_dim,
+            compute_dtype=cfg.model.compute_dtype,
+        )
     fnet = FilteringNet(
         channels=cfg.filter.channels,
         num_clusters=cfg.filter.num_clusters,
@@ -82,12 +92,18 @@ def init_params(key: Array, cfg: PipelineConfig) -> RegistrationParams:
     k1, k2, k3, k4 = jax.random.split(key, 4)
     P = 512
     pts = jax.random.uniform(k4, (1, P, 3), minval=0.0, maxval=1.0)
-    plan = build_unet_plan(
-        pts, jnp.ones((1, P), bool), cfg.voxel.voxel_size,
-        cfg.voxel.capacities, cfg.voxel.kernel_size, cfg.voxel.lookup,
-    )
-    feats = jnp.ones((1, cfg.voxel.capacities[0], 1))
-    fcgf_vars = fcgf.init(k1, plan, feats, train=False)
+    if cfg.model.family == "pointnet":
+        centers = jax.random.uniform(k4, (1, cfg.voxel.capacities[0], 3))
+        fcgf_vars = fcgf.init(
+            k1, centers, jnp.ones((1, cfg.voxel.capacities[0])), train=False
+        )
+    else:
+        plan = build_unet_plan(
+            pts, jnp.ones((1, P), bool), cfg.voxel.voxel_size,
+            cfg.voxel.capacities, cfg.voxel.kernel_size, cfg.voxel.lookup,
+        )
+        feats = jnp.ones((1, cfg.voxel.capacities[0], 1))
+        fcgf_vars = fcgf.init(k1, plan, feats, train=False)
     corr = jnp.zeros((1, cfg.match.num_corr, 6))
     fvars = fnet.init(k2, corr, jnp.ones((1, cfg.match.num_corr)), train=False)
     cvars = cnet.init(k3, jnp.zeros((1, 8)))
@@ -101,8 +117,25 @@ def extract_descriptors(
     mask: Array,
     train: bool = False,
 ) -> Descriptors:
-    """FCGF descriptors for a batch of fragments (B, P, 3) -> (B, V, D)."""
+    """Descriptors for a batch of fragments (B, P, 3) -> (B, V, D).
+
+    Dispatches on cfg.model.family: the FCGF sparse UNet (needs the full
+    coordinate plan) or the PointNet patch descriptor (voxelize only)."""
     fcgf, _, _ = make_models(cfg)
+    if cfg.model.family == "pointnet":
+        from mvreg.ops import voxel as vx
+
+        grids = jax.vmap(
+            lambda p, m: vx.voxelize(
+                p, m, cfg.voxel.voxel_size, cfg.voxel.capacities[0]
+            )
+        )(points, mask)
+        centers = grids.origin[:, None, :] + (
+            grids.coords.astype(points.dtype) + 0.5
+        ) * grids.voxel_size[:, None, None]
+        centers = centers * grids.mask[..., None]
+        desc = fcgf.apply(params.fcgf, centers, grids.mask, train=False)
+        return Descriptors(feats=desc, centers=centers, mask=grids.mask)
     plan = build_unet_plan(
         points, mask, cfg.voxel.voxel_size, cfg.voxel.capacities,
         cfg.voxel.kernel_size, cfg.voxel.lookup,

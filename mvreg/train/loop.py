@@ -52,8 +52,25 @@ class PairBatch(NamedTuple):
 
 
 def _descriptors_train(params, stats, cfg, points, mask):
-    """FCGF forward in train mode, returning updated batch stats."""
+    """Descriptor forward in train mode, returning updated batch stats."""
     fcgf, _, _ = make_models(cfg)
+    if cfg.model.family == "pointnet":
+        from mvreg.ops import voxel as vx
+
+        grids = jax.vmap(
+            lambda p, m: vx.voxelize(
+                p, m, cfg.voxel.voxel_size, cfg.voxel.capacities[0]
+            )
+        )(points, mask)
+        centers = grids.origin[:, None, :] + (
+            grids.coords.astype(points.dtype) + 0.5
+        ) * grids.voxel_size[:, None, None]
+        centers = centers * grids.mask[..., None]
+        desc = fcgf.apply(
+            {"params": params["fcgf"]}, centers, grids.mask, train=True
+        )
+        d = Descriptors(feats=desc, centers=centers, mask=grids.mask)
+        return d, stats["fcgf"]
     plan = build_unet_plan(
         points, mask, cfg.voxel.voxel_size, cfg.voxel.capacities,
         cfg.voxel.kernel_size, cfg.voxel.lookup,
