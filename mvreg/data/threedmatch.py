@@ -17,7 +17,6 @@ gt.info: repeated blocks of
 from __future__ import annotations
 
 import os
-import struct
 from typing import NamedTuple
 
 import numpy as np
@@ -103,11 +102,6 @@ def read_ply(path: str) -> np.ndarray:
             elif l.startswith("property") and in_vertex:
                 _, typ, name = l.split()
                 props.append((typ, name))
-        type_size = {
-            "float": 4, "float32": 4, "double": 8, "float64": 8,
-            "uchar": 1, "uint8": 1, "char": 1, "int8": 1,
-            "short": 2, "ushort": 2, "int": 4, "uint": 4, "int32": 4,
-        }
         if fmt == "ascii":
             data = np.loadtxt(f, max_rows=n_vert)
             names = [n for _, n in props]
