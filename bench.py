@@ -76,7 +76,7 @@ def build():
             dj = jax.tree_util.tree_map(lambda a: a[2 * b + 1], desc)
             out = register_pair(params, cfg, di, dj)
             return out.R, out.t, out.confidence
-        return jax.lax.map(one_pair, jnp.arange(BATCH_PAIRS))
+        return jax.lax.map(one_pair, jnp.arange(BATCH_PAIRS), batch_size=BATCH_PAIRS)
 
     return jax.jit(step), (params, points, mask)
 

@@ -255,7 +255,9 @@ def register_scene(
         dj = jax.tree_util.tree_map(lambda a: a[e[1]], desc)
         return register_pair(params, cfg, di, dj, use_filter=use_filter)
 
-    pairs = jax.lax.map(one_edge, edge_idx)
+    # Chunked vmap: batches the per-edge matching/filtering GEMMs into
+    # MXU-sized contractions without materializing all E distance blocks.
+    pairs = jax.lax.map(one_edge, edge_idx, batch_size=min(8, N))
 
     c_init = pairs.confidence * (
         pairs.confidence >= cfg.sync.confidence_threshold
