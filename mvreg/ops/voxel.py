@@ -150,6 +150,13 @@ def voxelize(
     )
 
 
+def voxel_point_counts(grid: VoxelGrid, capacity: int | None = None) -> Array:
+    """Number of source points per voxel, (V,) float32 (0 on padding)."""
+    V = grid.keys.shape[0] if capacity is None else capacity
+    w = grid.point_mask.astype(jnp.float32)
+    return jax.ops.segment_sum(w, grid.point2voxel, num_segments=V)
+
+
 def average_pool_points(
     grid: VoxelGrid, point_feats: Array, capacity: int | None = None
 ) -> Array:

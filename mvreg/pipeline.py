@@ -140,8 +140,7 @@ def extract_descriptors(
         points, mask, cfg.voxel.voxel_size, cfg.voxel.capacities,
         cfg.voxel.kernel_size, cfg.voxel.lookup,
     )
-    V0 = cfg.voxel.capacities[0]
-    feats = jnp.ones((points.shape[0], V0, 1)) * plan.masks[0][..., None]
+    feats = input_features(plan)
     desc = fcgf.apply(params.fcgf, plan, feats, train=False)
     g = plan.grids[0]
     centers = g.origin[:, None, :] + (
@@ -149,6 +148,19 @@ def extract_descriptors(
     ) * g.voxel_size[:, None, None]
     centers = centers * plan.masks[0][..., None]
     return Descriptors(feats=desc, centers=centers, mask=plan.masks[0])
+
+
+def input_features(plan) -> Array:
+    """Per-voxel input features: log1p point density (masked).
+
+    The reference feeds all-ones (geometry enters via the sparse
+    structure); local density is additional transform-invariant signal
+    that costs nothing (FCGF-compatible channel count).
+    """
+    from mvreg.ops import voxel as vx
+
+    counts = jax.vmap(vx.voxel_point_counts)(plan.grids[0])
+    return (jnp.log1p(counts) * plan.masks[0])[..., None]
 
 
 def select_keypoints(

@@ -75,8 +75,9 @@ def _descriptors_train(params, stats, cfg, points, mask):
         points, mask, cfg.voxel.voxel_size, cfg.voxel.capacities,
         cfg.voxel.kernel_size, cfg.voxel.lookup,
     )
-    V0 = cfg.voxel.capacities[0]
-    feats = jnp.ones((points.shape[0], V0, 1)) * plan.masks[0][..., None]
+    from mvreg.pipeline import input_features
+
+    feats = input_features(plan)
     desc, upd = fcgf.apply(
         {"params": params["fcgf"], "batch_stats": stats["fcgf"]},
         plan, feats, train=True, mutable=["batch_stats"],
