@@ -25,7 +25,7 @@ class VoxelConfig:
     voxel_size: float = 0.025  # meters (reference: 2.5 cm)
     capacities: tuple[int, ...] = (8192, 4096, 2048, 1024)
     kernel_size: int = 3
-    lookup: str = "hash"  # kernel-map backend: "hash" | "searchsorted"
+    lookup: str = "sortjoin"  # kernel-map backend: sortjoin|searchsorted|hash
 
 
 @dataclass(frozen=True)

@@ -63,7 +63,7 @@ def build_unet_plan(
     voxel_size: float,
     capacities: Sequence[int],
     kernel_size: int = 3,
-    lookup: str = "hash",
+    lookup: str = "sortjoin",
 ) -> UNetPlan:
     """Voxelize a batch of fragments and precompute all level maps.
 
@@ -76,7 +76,7 @@ def build_unet_plan(
     levels = len(capacities)
     if lookup == "hash":
         from mvreg.ops.hash_table import kernel_map_hashed as kmap_fn
-    elif lookup == "searchsorted":
+    elif lookup in ("sortjoin", "searchsorted"):
         kmap_fn = vx.kernel_map
     else:
         raise ValueError(f"unknown lookup backend {lookup}")

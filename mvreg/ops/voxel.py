@@ -170,14 +170,22 @@ def average_pool_points(
     return sums / jnp.maximum(cnts, 1.0)[:, None]
 
 
-def lookup(keys_sorted: Array, queries: Array) -> Array:
+def lookup(
+    keys_sorted: Array, queries: Array, method: str = "sort"
+) -> Array:
     """Find indices of `queries` in a sorted, SENTINEL-padded key table.
 
-    Returns int32 indices into the table, or -1 where absent. The binary
-    search runs as an XLA gather loop; a Pallas hash-probe kernel with the
-    same contract can swap in underneath (ops/pallas).
+    Returns int32 indices into the table, or -1 where absent.
+
+    method="sort" lowers searchsorted to a concat+sort co-ranking — on
+    TPU this is ~4x faster than the binary-search lowering ("scan"),
+    because random gathers are slow while the sort unit is fast
+    (measured on-chip: 63 ms vs 242 ms for the 8-fragment level-0 kernel
+    map; a gather-probed hash table is slower still at 272 ms).
     """
-    pos = jnp.searchsorted(keys_sorted, queries).astype(jnp.int32)
+    pos = jnp.searchsorted(
+        keys_sorted, queries.ravel(), method=method
+    ).astype(jnp.int32).reshape(queries.shape)
     pos_c = jnp.minimum(pos, keys_sorted.shape[0] - 1)
     hit = (keys_sorted[pos_c] == queries) & (queries != SENTINEL)
     return jnp.where(hit, pos_c, -1)
