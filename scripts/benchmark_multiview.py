@@ -25,8 +25,21 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def _force_cpu() -> None:
+    """Hard-select the CPU backend (the axon TPU relay is single-
+    client; a stray CPU-intended process would block real TPU jobs;
+    env vars don't survive the container's sitecustomize)."""
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
+    ap.add_argument("--cpu", action="store_true",
+                    help="run on the CPU backend")
+    ap.add_argument("--scene-dirs", nargs="*", default=None,
+                    help="ScanNet-layout scene dirs (fragment PLYs + poses)")
     ap.add_argument("--scenes", type=int, default=3)
     ap.add_argument("--fragments", type=int, default=8)
     ap.add_argument("--points", type=int, default=4096)
@@ -37,6 +50,8 @@ def main() -> None:
     ap.add_argument("--json-out", type=str, default=None)
     ap.add_argument("--set", action="append", default=[])
     args = ap.parse_args()
+    if args.cpu:
+        _force_cpu()
     logging.basicConfig(level=logging.INFO, format="%(message)s")
 
     import jax
@@ -82,13 +97,23 @@ def main() -> None:
         )
     )
 
+    if args.scene_dirs:
+        from mvreg.data.scannet import load_scene
+
+        scenes = [
+            load_scene(d, points_per_fragment=args.points)
+            for d in args.scene_dirs
+        ]
+    else:
+        scenes = [
+            make_scene(args.seed + s, num_fragments=args.fragments,
+                       points_per_fragment=args.points)
+            for s in range(args.scenes)
+        ]
+
     errors = []
     t_scene = []
-    for s in range(args.scenes):
-        scene = make_scene(
-            args.seed + s, num_fragments=args.fragments,
-            points_per_fragment=args.points,
-        )
+    for s, scene in enumerate(scenes):
         pts, msk = jnp.asarray(scene.points), jnp.asarray(scene.mask)
         t0 = time.perf_counter()
         out = jax.block_until_ready(fn(params, pts, msk))

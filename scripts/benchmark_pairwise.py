@@ -27,8 +27,19 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def _force_cpu() -> None:
+    """Hard-select the CPU backend (the axon TPU relay is single-
+    client; a stray CPU-intended process would block real TPU jobs;
+    env vars don't survive the container's sitecustomize)."""
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
+    ap.add_argument("--cpu", action="store_true",
+                    help="run on the CPU backend")
     ap.add_argument("--scene-dirs", nargs="*", default=None)
     ap.add_argument("--scenes", type=int, default=2)
     ap.add_argument("--fragments", type=int, default=6)
@@ -40,6 +51,8 @@ def main() -> None:
     ap.add_argument("--json-out", type=str, default=None)
     ap.add_argument("--set", action="append", default=[])
     args = ap.parse_args()
+    if args.cpu:
+        _force_cpu()
     logging.basicConfig(level=logging.INFO, format="%(message)s")
 
     import numpy as np

@@ -18,13 +18,26 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def _force_cpu() -> None:
+    """Hard-select the CPU backend (the axon TPU relay is single-
+    client; a stray CPU-intended process would block real TPU jobs;
+    env vars don't survive the container's sitecustomize)."""
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
+    ap.add_argument("--cpu", action="store_true",
+                    help="run on the CPU backend")
     ap.add_argument("--out", type=str, default="/tmp/mvreg_demo")
     ap.add_argument("--ckpt", type=str, default=None)
     ap.add_argument("--points", type=int, default=4096)
     ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args()
+    if args.cpu:
+        _force_cpu()
     logging.basicConfig(level=logging.INFO, format="%(message)s")
 
     import numpy as np

@@ -21,8 +21,19 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def _force_cpu() -> None:
+    """Hard-select the CPU backend (the axon TPU relay is single-
+    client; a stray CPU-intended process would block real TPU jobs;
+    env vars don't survive the container's sitecustomize)."""
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
+    ap.add_argument("--cpu", action="store_true",
+                    help="run on the CPU backend")
     ap.add_argument("--config", type=str, default=None)
     ap.add_argument("--stage", default="joint",
                     choices=["descriptor", "filter", "joint"])
@@ -36,6 +47,8 @@ def main() -> None:
     ap.add_argument("--set", action="append", default=[],
                     help="dotted config override, e.g. train.batch_pairs=8")
     args = ap.parse_args()
+    if args.cpu:
+        _force_cpu()
 
     logging.basicConfig(
         level=logging.INFO, format="%(asctime)s %(levelname)s %(message)s"
