@@ -166,11 +166,22 @@ def input_features(plan) -> Array:
 def select_keypoints(
     desc: Array, centers: Array, mask: Array, num: int, key: Array | None = None
 ) -> tuple[Array, Array, Array]:
-    """Pick `num` keypoint rows, valid-first (optionally shuffled), static."""
+    """Pick `num` keypoint rows, valid-first, spatially unbiased, static.
+
+    Voxel rows arrive sorted by packed coordinate (x-major); taking the
+    first `num` valid rows would select a single spatial slab of the
+    fragment and can miss the overlap region entirely. Valid rows are
+    therefore ordered by a hash of their row index — a deterministic
+    uniform-spread subsample (optionally randomized with `key`).
+    """
     V = mask.shape[0]
-    score = (~mask.astype(bool)).astype(jnp.float32)
+    idx = jnp.arange(V, dtype=jnp.uint32)
+    h = idx * jnp.uint32(0x9E3779B9)
+    h = h ^ (h >> 16)
+    tie = (h & jnp.uint32(0xFFFF)).astype(jnp.float32) / 65536.0
     if key is not None:
-        score = score * 2.0 + jax.random.uniform(key, (V,))
+        tie = jax.random.uniform(key, (V,))
+    score = (~mask.astype(bool)).astype(jnp.float32) * 2.0 + tie
     order = jnp.argsort(score)[:num]
     return desc[order], centers[order], mask[order].astype(bool)
 
