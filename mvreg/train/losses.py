@@ -133,7 +133,13 @@ def hardest_contrastive_loss(
         centers_a, mask_a, centers_b, mask_b, R_ab, t_ab, pos_radius
     )
     # Subsample anchors for the expensive negative mining (static count).
-    order = jnp.argsort(~valid)[:num_samples]
+    # Valid-first order alone would take a coordinate-sorted slab of the
+    # fragment (rows are key-sorted); hash the row index for a
+    # deterministic uniform spatial spread of anchors.
+    n = valid.shape[0]
+    h = jnp.arange(n, dtype=jnp.uint32) * jnp.uint32(0x9E3779B9)
+    tie = ((h ^ (h >> 16)) & jnp.uint32(0xFFFF)).astype(jnp.float32) / 65536.0
+    order = jnp.argsort((~valid).astype(jnp.float32) * 2.0 + tie)[:num_samples]
     anchors = desc_a[order]  # (S, D)
     pos = desc_b[idx_b[order]]  # (S, D)
     val = valid[order]
