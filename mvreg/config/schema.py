@@ -34,6 +34,7 @@ class ModelConfig:
     channels: tuple[int, ...] = (32, 64, 128, 256)
     descriptor_dim: int = 32
     compute_dtype: str = "float32"  # "bfloat16" for the fast MXU path
+    remat: bool = False  # rematerialize UNet blocks in training
     pointnet_k: int = 32
     pointnet_radius: float = 0.3
 

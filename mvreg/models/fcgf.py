@@ -193,11 +193,15 @@ class FCGF(nn.Module):
     channels: Sequence[int] = (32, 64, 128, 256)
     out_dim: int = 32
     compute_dtype: str = "float32"
+    remat: bool = False  # rematerialize ResBlocks (memory for FLOPs)
 
     @nn.compact
     def __call__(self, plan: UNetPlan, feats: Array, train: bool = False) -> Array:
         c = self.channels
         dt = jnp.dtype(self.compute_dtype)
+        Block = (
+            nn.remat(ResBlock, static_argnums=(4,)) if self.remat else ResBlock
+        )
         masks, kmaps, pools = plan.masks, plan.kmaps, plan.pools
         caps = [m.shape[-1] for m in masks]
 
@@ -205,7 +209,7 @@ class FCGF(nn.Module):
         h0 = SparseConv(c[0], dtype=dt)(feats, kmaps[0], masks[0])
         h0 = MaskedBatchNorm()(h0, masks[0], train)
         h0 = nn.relu(h0)
-        h0 = ResBlock(c[0], dtype=dt)(h0, kmaps[0], masks[0], train)
+        h0 = Block(c[0], dtype=dt)(h0, kmaps[0], masks[0], train)
 
         # Encoder
         skips = [h0]
@@ -214,7 +218,7 @@ class FCGF(nn.Module):
             h = SparseDown(c[l], dtype=dt)(h, pools[l - 1], caps[l])
             h = MaskedBatchNorm()(h, masks[l], train)
             h = nn.relu(h)
-            h = ResBlock(c[l], dtype=dt)(h, kmaps[l], masks[l], train)
+            h = Block(c[l], dtype=dt)(h, kmaps[l], masks[l], train)
             skips.append(h)
 
         # Decoder
@@ -228,7 +232,7 @@ class FCGF(nn.Module):
             h = MaskedBatchNorm()(h, masks[l], train)
             h = nn.relu(h)
             if l > 0:
-                h = ResBlock(tr, dtype=dt)(h, kmaps[l], masks[l], train)
+                h = Block(tr, dtype=dt)(h, kmaps[l], masks[l], train)
 
         # Head: 1x1 linear + L2 normalization (no nonlinearity, as in FCGF).
         # Smooth rsqrt form: finite gradient at the exact-zero padded rows.

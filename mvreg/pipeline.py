@@ -73,7 +73,7 @@ def make_models(cfg: PipelineConfig):
     else:
         fcgf = FCGF(
             channels=cfg.model.channels, out_dim=cfg.model.descriptor_dim,
-            compute_dtype=cfg.model.compute_dtype,
+            compute_dtype=cfg.model.compute_dtype, remat=cfg.model.remat,
         )
     fnet = FilteringNet(
         channels=cfg.filter.channels,
