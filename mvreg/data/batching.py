@@ -13,7 +13,7 @@ from __future__ import annotations
 import numpy as np
 
 from mvreg.data import synthetic
-from mvreg.train.loop import PairBatch
+from mvreg.train.loop import PairBatch, SceneBatch
 
 
 def _relative_np(R0, t0, R1, t1):
@@ -75,6 +75,60 @@ def synthetic_pair_stream(
     pool = [
         synthetic_pair_batch(
             seed + k, batch_size, points_per_fragment, noise
+        )
+        for k in range(n_batches)
+    ]
+    rng = np.random.default_rng(seed)
+    while True:
+        for k in rng.permutation(n_batches):
+            yield pool[k]
+
+
+def synthetic_scene_batch(
+    seed: int,
+    batch_size: int,
+    num_fragments: int = 4,
+    points_per_fragment: int = 2048,
+    noise: float = 0.005,
+) -> SceneBatch:
+    """Build a SceneBatch of synthetic multiview scenes (sync stage)."""
+    pts = np.zeros(
+        (batch_size, num_fragments, points_per_fragment, 3), np.float32
+    )
+    msk = np.zeros((batch_size, num_fragments, points_per_fragment), bool)
+    Rg = np.zeros((batch_size, num_fragments, 3, 3), np.float32)
+    tg = np.zeros((batch_size, num_fragments, 3), np.float32)
+    for b in range(batch_size):
+        scene = synthetic.make_scene(
+            seed * 20011 + b, num_fragments, points_per_fragment, noise=noise
+        )
+        pts[b], msk[b] = scene.points, scene.mask
+        Rg[b], tg[b] = scene.R_gt, scene.t_gt
+    return SceneBatch(points=pts, mask=msk, R_gt=Rg, t_gt=tg)
+
+
+def synthetic_scene_stream(
+    seed: int,
+    batch_size: int,
+    num_fragments: int = 4,
+    points_per_fragment: int = 2048,
+    noise: float = 0.005,
+    pool_scenes: int = 0,
+):
+    """Generator of SceneBatches; pool_scenes>0 = fixed-dataset regime."""
+    if pool_scenes <= 0:
+        step = 0
+        while True:
+            yield synthetic_scene_batch(
+                seed + step, batch_size, num_fragments,
+                points_per_fragment, noise,
+            )
+            step += 1
+        return
+    n_batches = (pool_scenes + batch_size - 1) // batch_size
+    pool = [
+        synthetic_scene_batch(
+            seed + k, batch_size, num_fragments, points_per_fragment, noise
         )
         for k in range(n_batches)
     ]

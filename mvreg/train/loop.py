@@ -12,6 +12,10 @@ filtering/confidence trained on top — SURVEY.md §7 hard-part 3):
   stage="descriptor"  hardest-contrastive only
   stage="filter"      BCE + transformation + confidence (desc frozen)
   stage="joint"       everything, soft-match gradients into the backbone
+  stage="sync"        multiview fine-tune THROUGH the synchronization
+                      layer (gradients via eigh_safe; SURVEY.md §0 — the
+                      reference trains end-to-end through the SVD and the
+                      eigendecomposition), on SceneBatches of N fragments
 """
 
 from __future__ import annotations
@@ -49,6 +53,19 @@ class PairBatch(NamedTuple):
     mask: Array
     R_ij: Array
     t_ij: Array
+
+
+class SceneBatch(NamedTuple):
+    """A batch of training scenes for the sync fine-tune stage.
+
+    points: (B, N, P, 3); mask: (B, N, P)
+    R_gt, t_gt: (B, N, 3, 3), (B, N, 3) — GT absolute poses (local->world)
+    """
+
+    points: Array
+    mask: Array
+    R_gt: Array
+    t_gt: Array
 
 
 def _descriptors_train(params, stats, cfg, points, mask):
@@ -215,6 +232,131 @@ def loss_fn(
     return total, (new_stats, metrics)
 
 
+def sync_loss_fn(
+    params: Any,
+    stats: Any,
+    cfg: PipelineConfig,
+    batch: SceneBatch,
+) -> tuple[Array, tuple[Any, dict]]:
+    """Multiview fine-tune loss THROUGH the synchronization layer (C7/C8).
+
+    Runs the full scene path — descriptors (frozen), matching, filtering,
+    robust Procrustes, confidence, IRLS spectral sync — and supervises the
+    *synchronized* poses with a gauge-invariant relative-pose loss, so
+    gradients reach the filtering and confidence nets through `eigh_safe`
+    and the translation solve (the reference's end-to-end multiview
+    training, SURVEY.md §0 / §7 hard-part 3).
+    """
+    from mvreg.core.transforms import relative as tf_relative
+    from mvreg.pipeline import all_pairs
+    from mvreg.sync.irls import synchronize
+
+    B, N, P, _ = batch.points.shape
+    flat_pts = batch.points.reshape(B * N, P, 3)
+    flat_mask = batch.mask.reshape(B * N, P)
+
+    # Descriptors stay frozen in this stage (NN matching is not
+    # differentiable anyway; the reference stages training the same way).
+    desc, new_fcgf_stats = _descriptors_train(
+        jax.lax.stop_gradient(params), stats, cfg, flat_pts, flat_mask
+    )
+    d = jax.tree_util.tree_map(
+        lambda a: a.reshape(B, N, *a.shape[1:]), desc
+    )
+    edge_idx = all_pairs(N)  # (E, 2) static
+    E = edge_idx.shape[0]
+    K = cfg.match.num_corr
+    _, fnet, cnet = make_models(cfg)
+
+    def scene_corr(d_scene):
+        def edge_corr(e):
+            di = jax.tree_util.tree_map(lambda a: a[e[0]], d_scene)
+            dj = jax.tree_util.tree_map(lambda a: a[e[1]], d_scene)
+            fd, fc, fm = select_keypoints(di.feats, di.centers, di.mask, K)
+            idx, _, mut = mutual_match(fd, fm, dj.feats, dj.mask)
+            y = dj.centers[idx]
+            cm = fm & mut
+            return fc * cm[:, None], y * cm[:, None], cm
+
+        return jax.vmap(edge_corr)(edge_idx)
+
+    x, y, cm = jax.vmap(scene_corr)(d)  # (B, E, K, 3), ..., (B, E, K)
+
+    corr = jnp.concatenate([x, y], axis=-1).reshape(B * E, K, 6)
+    cm_f = cm.reshape(B * E, K)
+    (logits, w), fupd = fnet.apply(
+        {"params": params["filter"], "batch_stats": stats["filter"]},
+        corr, cm_f.astype(corr.dtype), train=True, mutable=["batch_stats"],
+    )
+    xf, yf = x.reshape(B * E, K, 3), y.reshape(B * E, K, 3)
+    w_eff = w * cm_f + 1e-3 * cm_f
+    R_e, t_e, _ = jax.vmap(
+        lambda xx, yy, ww: irls_kabsch(
+            xx, yy, ww, cfg.match.irls_iters, cfg.match.irls_scale
+        )
+    )(xf, yf, w_eff)
+    res = transformation_residuals(R_e, t_e, xf, yf)
+    stats_e = edge_statistics(w, cm_f.astype(w.dtype), res)
+    conf = cnet.apply({"params": params["confidence"]}, stats_e)
+    conf = conf.reshape(B, E)
+
+    # Synchronize each scene; gradients flow through eigh_safe + solve.
+    c_init = conf * (conf >= cfg.sync.confidence_threshold)
+    c_init = jnp.where(
+        jnp.sum(c_init, axis=-1, keepdims=True) > 1e-6, c_init, conf
+    )
+    sync = jax.vmap(
+        lambda R, t, c: synchronize(
+            edge_idx, R, t, c, n_nodes=N, num_iters=cfg.sync.num_iters,
+            cauchy_b=cfg.sync.cauchy_b, trans_scale=cfg.sync.trans_scale,
+        )
+    )(R_e.reshape(B, E, 3, 3), t_e.reshape(B, E, 3), c_init)
+
+    # Gauge-invariant supervision: synced relative poses vs GT relatives.
+    i, j = edge_idx[:, 0], edge_idx[:, 1]
+    R_gt_ij, t_gt_ij = jax.vmap(
+        lambda Rg, tg: tf_relative(Rg[i], tg[i], Rg[j], tg[j])
+    )(batch.R_gt, batch.t_gt)
+    R_sy_ij, t_sy_ij = jax.vmap(
+        lambda Rs, ts: tf_relative(Rs[i], ts[i], Rs[j], ts[j])
+    )(sync.R, sync.t)
+    rot_l = jnp.mean(jnp.sum((R_sy_ij - R_gt_ij) ** 2, axis=(-2, -1)))
+    tr_l = jnp.mean(jnp.sum((t_sy_ij - t_gt_ij) ** 2, axis=-1))
+    total = rot_l + 0.5 * tr_l
+
+    # Keep pairwise heads anchored: BCE on inliers + confidence BCE.
+    labels = L.inlier_labels(
+        xf, yf,
+        R_gt_ij.reshape(B * E, 3, 3), t_gt_ij.reshape(B * E, 3),
+        cm_f, tau=cfg.filter.inlier_threshold,
+    )
+    cls = L.classification_loss(logits, labels, cm_f)
+    rot_err_pair = rotation_error_deg(R_e, R_gt_ij.reshape(B * E, 3, 3))
+    success = (rot_err_pair < 15.0).astype(conf.dtype).reshape(B, E)
+    conf_bce = -jnp.mean(
+        success * jnp.log(conf + 1e-6)
+        + (1 - success) * jnp.log(1 - conf + 1e-6)
+    )
+    total = total + cls + 0.3 * conf_bce
+
+    rot_err_sync = rotation_error_deg(
+        R_sy_ij.reshape(B * E, 3, 3), R_gt_ij.reshape(B * E, 3, 3)
+    )
+    metrics = {
+        "loss_total": total,
+        "loss_sync_rot": rot_l,
+        "loss_sync_trans": tr_l,
+        "loss_classification": cls,
+        "loss_confidence": conf_bce,
+        "sync_rot_err_deg": jnp.mean(rot_err_sync),
+        "pair_rot_err_deg": jnp.mean(rot_err_pair),
+    }
+    new_stats = dict(stats)
+    new_stats["fcgf"] = new_fcgf_stats
+    new_stats["filter"] = fupd["batch_stats"]
+    return total, (new_stats, metrics)
+
+
 def make_train_step(
     cfg: PipelineConfig, stage: str = "joint"
 ) -> Callable[[TrainState, PairBatch], tuple[TrainState, dict]]:
@@ -222,10 +364,14 @@ def make_train_step(
     tx = make_optimizer(cfg)
 
     @functools.partial(jax.jit, donate_argnums=(0,))
-    def step(state: TrainState, batch: PairBatch):
+    def step(state: TrainState, batch):
+        if stage == "sync":
+            lf = lambda p, s, c, b: sync_loss_fn(p, s, c, b)
+        else:
+            lf = lambda p, s, c, b: loss_fn(p, s, c, b, stage)
         (loss, (new_stats, metrics)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True
-        )(state.params, state.batch_stats, cfg, batch, stage)
+            lf, has_aux=True
+        )(state.params, state.batch_stats, cfg, batch)
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
         return (

@@ -36,7 +36,9 @@ def main() -> None:
                     help="run on the CPU backend")
     ap.add_argument("--config", type=str, default=None)
     ap.add_argument("--stage", default="joint",
-                    choices=["descriptor", "filter", "joint"])
+                    choices=["descriptor", "filter", "joint", "sync"])
+    ap.add_argument("--fragments", type=int, default=4,
+                    help="fragments per scene (sync stage only)")
     ap.add_argument("--steps", type=int, default=None)
     ap.add_argument("--ckpt-dir", type=str, default="runs/default")
     ap.add_argument("--resume", action="store_true")
@@ -84,10 +86,18 @@ def main() -> None:
 
     step_fn = make_train_step(cfg, stage=args.stage)
     mlog = MetricLogger(os.path.join(args.ckpt_dir, "tb"), args.log_every)
-    stream = synthetic_pair_stream(
-        cfg.train.seed, cfg.train.batch_pairs, args.points,
-        pool_pairs=args.pool_pairs,
-    )
+    if args.stage == "sync":
+        from mvreg.data.batching import synthetic_scene_stream
+
+        stream = synthetic_scene_stream(
+            cfg.train.seed, cfg.train.batch_pairs, args.fragments,
+            args.points, pool_scenes=args.pool_pairs,
+        )
+    else:
+        stream = synthetic_pair_stream(
+            cfg.train.seed, cfg.train.batch_pairs, args.points,
+            pool_pairs=args.pool_pairs,
+        )
 
     start = int(state.step)
     for k, batch in enumerate(stream):
