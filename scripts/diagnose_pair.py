@@ -1,0 +1,126 @@
+#!/usr/bin/env python
+"""Match-quality probe: descriptor/matching/filtering error breakdown.
+
+Registers synthetic pairs with a checkpoint (or fresh params) and reports
+the stage-by-stage quality signals that the end metrics hide:
+GT-inlier rate of the putative matches (the descriptor's real score),
+mutual-match count, pre/post-filter pose errors, and edge confidence.
+Reference has no such tool; its equivalent is eyeballing the benchmark
+(SURVEY.md §4) — this makes descriptor regressions diagnosable in one run.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--ckpt", type=str, default=None)
+    ap.add_argument("--config", type=str, default=None)
+    ap.add_argument("--points", type=int, default=6144)
+    ap.add_argument("--seeds", type=int, nargs="*", default=[0, 100, 101])
+    ap.add_argument("--json-out", type=str, default=None)
+    ap.add_argument("--set", action="append", default=[])
+    args = ap.parse_args()
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    logging.basicConfig(level=logging.WARNING)
+
+    import numpy as np
+
+    import jax
+    import jax.numpy as jnp
+
+    from mvreg.config.schema import PipelineConfig, load_yaml, override
+    from mvreg.core.metrics import rotation_error_deg, translation_error
+    from mvreg.data.synthetic import make_pair
+    from mvreg.pipeline import extract_descriptors, init_params, register_pair
+    from mvreg.train.checkpoints import CheckpointManager
+    from mvreg.train.loop import registration_params
+    from mvreg.train.state import create_train_state
+
+    cfg = load_yaml(args.config) if args.config else PipelineConfig()
+    overrides = {}
+    for kv in args.set:
+        k, v = kv.split("=", 1)
+        try:
+            v = eval(v, {}, {})
+        except Exception:
+            pass
+        overrides[k] = v
+    if overrides:
+        cfg = override(cfg, **overrides)
+
+    if args.ckpt:
+        state = create_train_state(jax.random.PRNGKey(0), cfg)
+        mgr = CheckpointManager(args.ckpt)
+        state = mgr.restore(state)
+        print(f"loaded checkpoint step {int(state.step)}")
+        params = registration_params(state)
+    else:
+        params = init_params(jax.random.PRNGKey(0), cfg)
+
+    @jax.jit
+    def probe(params, pts, msk):
+        desc = extract_descriptors(params, cfg, pts, msk)
+        di = jax.tree_util.tree_map(lambda a: a[0], desc)
+        dj = jax.tree_util.tree_map(lambda a: a[1], desc)
+        of = register_pair(params, cfg, di, dj, use_filter=True)
+        on = register_pair(params, cfg, di, dj, use_filter=False)
+        return of, on
+
+    rows = []
+    for seed in args.seeds:
+        scene = make_pair(seed=seed, points_per_fragment=args.points)
+        pts, msk = jnp.asarray(scene.points), jnp.asarray(scene.mask)
+        R0, t0 = scene.R_gt[0], scene.t_gt[0]
+        R1, t1 = scene.R_gt[1], scene.t_gt[1]
+        Rg, tg = R1.T @ R0, R1.T @ (t0 - t1)
+        of, on = probe(params, pts, msk)
+        x = np.asarray(of.x)
+        y = np.asarray(of.y)
+        cm = np.asarray(of.corr_mask).astype(bool)
+        d = np.linalg.norm(x @ Rg.T + tg - y, axis=-1)
+        row = {
+            "seed": seed,
+            "mutual_corr": int(cm.sum()),
+            "gt_inlier_rate": float((d[cm] < 0.1).mean()) if cm.any() else 0.0,
+            "rot_err_filter": float(rotation_error_deg(of.R, jnp.asarray(Rg))),
+            "trans_err_filter": float(
+                translation_error(of.t, jnp.asarray(tg))
+            ),
+            "rot_err_nofilter": float(
+                rotation_error_deg(on.R, jnp.asarray(Rg))
+            ),
+            "confidence": float(of.confidence),
+        }
+        rows.append(row)
+        print(json.dumps(row))
+
+    summary = {
+        "mean_gt_inlier_rate": float(
+            np.mean([r["gt_inlier_rate"] for r in rows])
+        ),
+        "mean_rot_err_filter": float(
+            np.mean([r["rot_err_filter"] for r in rows])
+        ),
+        "rows": rows,
+    }
+    print("mean gt_inlier_rate:", summary["mean_gt_inlier_rate"])
+    if args.json_out:
+        with open(args.json_out, "w") as fh:
+            json.dump(summary, fh, indent=1)
+
+
+if __name__ == "__main__":
+    main()
