@@ -46,6 +46,11 @@ class MatchConfig:
     soft_temperature: float = 0.02
     irls_iters: int = 3  # robust Procrustes reweighting (RANSAC stand-in)
     irls_scale: float = 0.05  # Cauchy scale, meters
+    estimator: str = "irls"  # robust solver at eval: "irls" | "ransac"
+    ransac_hypotheses: int = 512
+    ransac_sample_size: int = 3
+    ransac_threshold: float = 0.075  # meters
+    ransac_refine_iters: int = 2
 
 
 @dataclass(frozen=True)

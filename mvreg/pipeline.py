@@ -236,10 +236,26 @@ def register_pair(
         logits = jnp.where(corr_mask, 1e3, -1e3)
         w = corr_mask.astype(corr.dtype)
     w_eff = w * corr_mask + 1e-3 * corr_mask
-    R, t, _ = irls_kabsch(
-        x, y, w_eff, num_iters=cfg.match.irls_iters,
-        scale=cfg.match.irls_scale,
-    )
+    if cfg.match.estimator == "ransac":
+        from mvreg.core.ransac import ransac_kabsch
+
+        # High-breakdown alternative (vectorized hypothesis batch); the
+        # learned weights gate which correspondences may be sampled.
+        gate = corr_mask & (w > 0.3) if use_filter else corr_mask
+        gate = jnp.where(jnp.sum(gate) >= 8, gate, corr_mask)
+        rr = ransac_kabsch(
+            x, y, gate, jax.random.PRNGKey(0),
+            num_hypotheses=cfg.match.ransac_hypotheses,
+            sample_size=cfg.match.ransac_sample_size,
+            inlier_threshold=cfg.match.ransac_threshold,
+            refine_iters=cfg.match.ransac_refine_iters,
+        )
+        R, t = rr.R, rr.t
+    else:
+        R, t, _ = irls_kabsch(
+            x, y, w_eff, num_iters=cfg.match.irls_iters,
+            scale=cfg.match.irls_scale,
+        )
     res = transformation_residuals(R, t, x, y)
     stats = edge_statistics(w, corr_mask.astype(w.dtype), res)
     conf = cnet.apply(params.confidence, stats[None])[0]
