@@ -35,6 +35,7 @@ class ModelConfig:
     descriptor_dim: int = 32
     compute_dtype: str = "float32"  # "bfloat16" for the fast MXU path
     remat: bool = False  # rematerialize UNet blocks in training
+    conv_impl: str = "fused"  # sparse_conv schedule: fused|taps|einsum
     pointnet_k: int = 32
     pointnet_radius: float = 0.3
 

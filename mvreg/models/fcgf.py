@@ -110,6 +110,7 @@ class SparseConv(nn.Module):
     features: int
     kernel_volume: int = 27
     dtype: Any = jnp.float32
+    impl: str = "fused"
 
     @nn.compact
     def __call__(self, x: Array, kmap: Array, mask: Array) -> Array:
@@ -121,9 +122,9 @@ class SparseConv(nn.Module):
         )
         Wc = W.astype(self.dtype)
         xc = x.astype(self.dtype)
-        return jax.vmap(lambda f, k, m: sparse_conv(f, k, Wc, m))(
-            xc, kmap, mask
-        )
+        return jax.vmap(
+            lambda f, k, m: sparse_conv(f, k, Wc, m, impl=self.impl)
+        )(xc, kmap, mask)
 
 
 class SparseDown(nn.Module):
@@ -171,13 +172,18 @@ class SparseUp(nn.Module):
 class ResBlock(nn.Module):
     features: int
     dtype: Any = jnp.float32
+    impl: str = "fused"
 
     @nn.compact
     def __call__(self, x: Array, kmap: Array, mask: Array, train: bool) -> Array:
-        h = SparseConv(self.features, dtype=self.dtype)(x, kmap, mask)
+        h = SparseConv(self.features, dtype=self.dtype, impl=self.impl)(
+            x, kmap, mask
+        )
         h = MaskedBatchNorm()(h, mask, train)
         h = nn.relu(h)
-        h = SparseConv(self.features, dtype=self.dtype)(h, kmap, mask)
+        h = SparseConv(self.features, dtype=self.dtype, impl=self.impl)(
+            h, kmap, mask
+        )
         h = MaskedBatchNorm()(h, mask, train)
         return nn.relu(h + x)
 
@@ -194,6 +200,7 @@ class FCGF(nn.Module):
     out_dim: int = 32
     compute_dtype: str = "float32"
     remat: bool = False  # rematerialize ResBlocks (memory for FLOPs)
+    conv_impl: str = "fused"  # sparse_conv schedule: fused|taps|einsum
 
     @nn.compact
     def __call__(self, plan: UNetPlan, feats: Array, train: bool = False) -> Array:
@@ -206,10 +213,11 @@ class FCGF(nn.Module):
         caps = [m.shape[-1] for m in masks]
 
         # Stem
-        h0 = SparseConv(c[0], dtype=dt)(feats, kmaps[0], masks[0])
+        ci = self.conv_impl
+        h0 = SparseConv(c[0], dtype=dt, impl=ci)(feats, kmaps[0], masks[0])
         h0 = MaskedBatchNorm()(h0, masks[0], train)
         h0 = nn.relu(h0)
-        h0 = Block(c[0], dtype=dt)(h0, kmaps[0], masks[0], train)
+        h0 = Block(c[0], dtype=dt, impl=ci)(h0, kmaps[0], masks[0], train)
 
         # Encoder
         skips = [h0]
@@ -218,7 +226,7 @@ class FCGF(nn.Module):
             h = SparseDown(c[l], dtype=dt)(h, pools[l - 1], caps[l])
             h = MaskedBatchNorm()(h, masks[l], train)
             h = nn.relu(h)
-            h = Block(c[l], dtype=dt)(h, kmaps[l], masks[l], train)
+            h = Block(c[l], dtype=dt, impl=ci)(h, kmaps[l], masks[l], train)
             skips.append(h)
 
         # Decoder
@@ -228,11 +236,11 @@ class FCGF(nn.Module):
             h = MaskedBatchNorm()(h, masks[l], train)
             h = nn.relu(h)
             h = jnp.concatenate([h, skips[l]], axis=-1)
-            h = SparseConv(tr, dtype=dt)(h, kmaps[l], masks[l])
+            h = SparseConv(tr, dtype=dt, impl=ci)(h, kmaps[l], masks[l])
             h = MaskedBatchNorm()(h, masks[l], train)
             h = nn.relu(h)
             if l > 0:
-                h = Block(tr, dtype=dt)(h, kmaps[l], masks[l], train)
+                h = Block(tr, dtype=dt, impl=ci)(h, kmaps[l], masks[l], train)
 
         # Head: 1x1 linear + L2 normalization (no nonlinearity, as in FCGF).
         # Smooth rsqrt form: finite gradient at the exact-zero padded rows.

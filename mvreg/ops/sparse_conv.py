@@ -34,16 +34,46 @@ def sparse_conv(
     out_mask: Array,
     *,
     accum_dtype=jnp.float32,
+    impl: str = "fused",
 ) -> Array:
     """Sparse convolution: feats (V, Cin), kmap (K, V), weights (K, Cin, Cout).
 
     out[v] = Σ_k W[k]ᵀ feats[kmap[k, v]] over valid neighbors; rows with
-    ~out_mask are zeroed. One fused GEMM: gathered (V, K·Cin) @ (K·Cin, Cout).
+    ~out_mask are zeroed.
+
+    Three mathematically identical schedules (A/B on hardware with
+    benchmarks/conv_microbench.py; HBM traffic, relayouts, and MXU shape
+    differ):
+      "fused"  gather -> (V, K·Cin) @ (K·Cin, Cout): one big GEMM, but the
+               (K,V,C)->(V,K·C) relayout materializes K·V·C in HBM.
+      "taps"   fori over K: out += feats[kmap[k]] @ W[k] — no relayout,
+               K smaller GEMMs, peak memory V·C.
+      "einsum" single kvc,kco->vo contraction — XLA picks the layout.
     """
     K, V = kmap.shape
     Cin = feats.shape[-1]
+    if impl == "taps":
+        def tap(k, acc):
+            idx = kmap[k]
+            g = jnp.where((idx >= 0)[:, None], feats[jnp.maximum(idx, 0)], 0)
+            return acc + jnp.dot(
+                g, weights[k], preferred_element_type=accum_dtype
+            )
+        out = jax.lax.fori_loop(
+            0, K, tap,
+            jnp.zeros((V, weights.shape[-1]), accum_dtype),
+            unroll=True,
+        )
+        return (out * out_mask[:, None]).astype(feats.dtype)
+
     valid = (kmap >= 0)[..., None]  # (K, V, 1)
     gathered = jnp.where(valid, feats[jnp.maximum(kmap, 0)], 0)  # (K, V, Cin)
+    if impl == "einsum":
+        out = jnp.einsum(
+            "kvc,kco->vo", gathered, weights.astype(gathered.dtype),
+            preferred_element_type=accum_dtype,
+        )
+        return (out * out_mask[:, None]).astype(feats.dtype)
     lhs = jnp.transpose(gathered, (1, 0, 2)).reshape(V, K * Cin)
     rhs = weights.reshape(K * Cin, -1)
     out = jnp.dot(lhs, rhs, preferred_element_type=accum_dtype)

@@ -74,6 +74,7 @@ def make_models(cfg: PipelineConfig):
         fcgf = FCGF(
             channels=cfg.model.channels, out_dim=cfg.model.descriptor_dim,
             compute_dtype=cfg.model.compute_dtype, remat=cfg.model.remat,
+            conv_impl=cfg.model.conv_impl,
         )
     fnet = FilteringNet(
         channels=cfg.filter.channels,

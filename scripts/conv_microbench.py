@@ -1,0 +1,77 @@
+#!/usr/bin/env python
+"""A/B microbenchmark of sparse_conv schedules on the current backend.
+
+The sparse UNet is the pipeline's hot path (SURVEY.md §3.4); the three
+schedules in ops/sparse_conv differ in HBM traffic and MXU shape, and the
+winner depends on the hardware — measure, don't guess. Readback barrier
+per rep (axon relay: block_until_ready is not a completion barrier).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--voxels", type=int, default=8192)
+    ap.add_argument("--cin", type=int, default=128)
+    ap.add_argument("--cout", type=int, default=128)
+    ap.add_argument("--dtype", default="bfloat16")
+    ap.add_argument("--reps", type=int, default=10)
+    args = ap.parse_args()
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+    import numpy as np
+
+    import jax
+    import jax.numpy as jnp
+
+    from mvreg.ops.sparse_conv import sparse_conv
+
+    B, V, K = args.batch, args.voxels, 27
+    dt = jnp.dtype(args.dtype)
+    rng = np.random.default_rng(0)
+    feats = jnp.asarray(rng.normal(size=(B, V, args.cin)), dt)
+    # realistic kernel map: ~50% hit rate, near-diagonal structure
+    base = np.arange(V)[None, :] + rng.integers(-40, 40, size=(K, V))
+    kmap = np.where(rng.random((K, V)) < 0.5, np.clip(base, 0, V - 1), -1)
+    kmap = jnp.asarray(np.broadcast_to(kmap, (B, K, V)).copy(), jnp.int32)
+    W = jnp.asarray(rng.normal(size=(K, args.cin, args.cout)) * 0.05, dt)
+    mask = jnp.ones((B, V), bool)
+
+    results = {}
+    for impl in ("fused", "taps", "einsum"):
+        f = jax.jit(
+            lambda x, k, m: jax.vmap(
+                lambda xx, kk, mm: sparse_conv(xx, kk, W, mm, impl=impl)
+            )(x, k, m)
+        )
+        out = f(feats, kmap, mask)
+        np.asarray(out[0, 0])  # completion barrier
+        t0 = time.perf_counter()
+        for r in range(args.reps):
+            out = f(feats + jnp.asarray(1e-3 * r, dt), kmap, mask)
+            np.asarray(out[0, 0])
+        dtm = (time.perf_counter() - t0) / args.reps
+        gflops = 2 * B * V * K * args.cin * args.cout / dtm / 1e9
+        results[impl] = {"ms": round(dtm * 1e3, 3),
+                         "gflops": round(gflops, 1)}
+        print(impl, results[impl])
+    print(json.dumps({"conv_microbench": results,
+                      "backend": jax.default_backend()}))
+
+
+if __name__ == "__main__":
+    main()

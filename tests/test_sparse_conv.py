@@ -125,3 +125,25 @@ def test_sparse_conv_grad_and_vmap():
     g = jax.grad(loss)(W)
     assert np.isfinite(np.asarray(g)).all()
     assert float(jnp.abs(g).sum()) > 0
+
+
+def test_impl_variants_agree():
+    """All three sparse_conv schedules compute identical results."""
+    import numpy as np
+
+    from mvreg.ops.sparse_conv import sparse_conv
+
+    rng = np.random.default_rng(0)
+    V, K, Cin, Cout = 257, 27, 24, 40
+    feats = jnp.asarray(rng.normal(size=(V, Cin)), jnp.float32)
+    kmap = jnp.asarray(
+        rng.integers(-1, V, size=(K, V)), jnp.int32
+    )
+    W = jnp.asarray(rng.normal(size=(K, Cin, Cout)) * 0.1, jnp.float32)
+    mask = jnp.asarray(rng.random(V) < 0.9)
+    ref = sparse_conv(feats, kmap, W, mask, impl="fused")
+    for impl in ("taps", "einsum"):
+        out = sparse_conv(feats, kmap, W, mask, impl=impl)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-5
+        )
