@@ -44,6 +44,7 @@ class ModelConfig:
 class MatchConfig:
     num_corr: int = 1024  # putative correspondences per pair
     mutual: bool = True
+    backend: str = "xla"  # NN-match backend: "xla" | "pallas"
     soft_temperature: float = 0.02
     irls_iters: int = 3  # robust Procrustes reweighting (RANSAC stand-in)
     irls_scale: float = 0.05  # Cauchy scale, meters

@@ -216,11 +216,28 @@ def register_pair(
         )
         corr_mask = fm
     elif cfg.match.mutual:
-        idx, _, mut = mutual_match(fd, fm, desc_j.feats, desc_j.mask)
+        if cfg.match.backend == "pallas":
+            from mvreg.ops.pallas.match_argmin import mutual_match_pallas
+
+            # interpret on CPU (tests/virtual mesh); compiled on TPU.
+            idx, _, mut = mutual_match_pallas(
+                fd, fm, desc_j.feats, desc_j.mask,
+                interpret=jax.default_backend() == "cpu",
+            )
+        else:
+            idx, _, mut = mutual_match(fd, fm, desc_j.feats, desc_j.mask)
         y = desc_j.centers[idx]
         corr_mask = fm & mut
     else:
-        idx, _ = nn_match(fd, fm, desc_j.feats, desc_j.mask)
+        if cfg.match.backend == "pallas":
+            from mvreg.ops.pallas.match_argmin import nn_match_pallas
+
+            idx, _ = nn_match_pallas(
+                fd, fm, desc_j.feats, desc_j.mask,
+                interpret=jax.default_backend() == "cpu",
+            )
+        else:
+            idx, _ = nn_match(fd, fm, desc_j.feats, desc_j.mask)
         y = desc_j.centers[idx]
         corr_mask = fm
 

@@ -61,3 +61,43 @@ def test_pallas_mutual_matches_reference():
     np.testing.assert_array_equal(np.asarray(idx), np.asarray(idx_ref))
     np.testing.assert_array_equal(np.asarray(mut), np.asarray(mut_ref))
     assert bool(mut.all())
+
+
+def test_pipeline_pallas_backend_matches_xla():
+    """register_pair with match.backend=pallas == xla backend (interpret)."""
+    import numpy as np
+
+    from mvreg.config.schema import PipelineConfig, override
+    from mvreg.data.synthetic import make_pair
+    from mvreg.pipeline import extract_descriptors, init_params, register_pair
+
+    base = {
+        "voxel.capacities": [512, 256, 128, 64],
+        "voxel.voxel_size": 0.08,
+        "model.channels": [4, 8, 8, 16],
+        "model.descriptor_dim": 8,
+        "match.num_corr": 128,
+        "filter.channels": 16,
+        "filter.num_clusters": 8,
+        "filter.blocks_before": 1,
+        "filter.blocks_cluster": 1,
+        "filter.blocks_after": 1,
+    }
+    scene = make_pair(seed=0, points_per_fragment=512)
+    pts, msk = jnp.asarray(scene.points), jnp.asarray(scene.mask)
+    outs = {}
+    for backend in ("xla", "pallas"):
+        cfg = override(PipelineConfig(), **base,
+                       **{"match.backend": backend})
+        params = init_params(jax.random.PRNGKey(0), cfg)
+        desc = extract_descriptors(params, cfg, pts, msk)
+        di = jax.tree_util.tree_map(lambda a: a[0], desc)
+        dj = jax.tree_util.tree_map(lambda a: a[1], desc)
+        outs[backend] = register_pair(params, cfg, di, dj)
+    np.testing.assert_allclose(
+        np.asarray(outs["xla"].R), np.asarray(outs["pallas"].R), atol=1e-5
+    )
+    np.testing.assert_array_equal(
+        np.asarray(outs["xla"].corr_mask),
+        np.asarray(outs["pallas"].corr_mask),
+    )
