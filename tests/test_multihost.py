@@ -72,3 +72,36 @@ def test_two_process_sync(tmp_path):
     )
     assert float(np.max(np.asarray(rotation_error_deg(Re, Rg)))) < 0.1
     assert float(np.max(np.asarray(translation_error(te, tg)))) < 1e-3
+
+
+@pytest.mark.slow
+def test_distributed_multiview_benchmark_cli(tmp_path):
+    """The config-4 benchmark CLI: 2 processes, edge-sharded full pipeline."""
+    import json
+
+    out = str(tmp_path / "mv.json")
+    env = dict(os.environ)
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    cmd = [
+        sys.executable, os.path.join(REPO, "scripts",
+                                     "benchmark_multiview_dist.py"),
+        "--processes", "2", "--fragments", "5", "--points", "1024",
+        "--json-out", out,
+        "--set", "voxel.capacities=(512,256,128,64)",
+        "--set", "voxel.voxel_size=0.08",
+        "--set", "model.channels=(4,8,8,16)",
+        "--set", "model.descriptor_dim=8",
+        "--set", "match.num_corr=128",
+        "--set", "filter.channels=16", "--set", "filter.num_clusters=8",
+        "--set", "filter.blocks_before=1",
+        "--set", "filter.blocks_cluster=1",
+        "--set", "filter.blocks_after=1",
+    ]
+    p = subprocess.run(cmd, env=env, cwd=REPO, capture_output=True,
+                       text=True, timeout=900)
+    assert p.returncode == 0, (p.stdout + p.stderr)[-3000:]
+    with open(out) as fh:
+        rep = json.load(fh)
+    assert rep["processes"] == 2 and rep["devices"] == 8
+    assert "rot_ecdf" in rep and "3.0" in rep["rot_ecdf"]
