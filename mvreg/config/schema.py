@@ -26,6 +26,9 @@ class VoxelConfig:
     capacities: tuple[int, ...] = (8192, 4096, 2048, 1024)
     kernel_size: int = 3
     lookup: str = "sortjoin"  # kernel-map backend: sortjoin|searchsorted|hash
+    # Static grid extent for model.conv_impl="dense" (voxels per axis;
+    # each must be divisible by 2^(levels-1)). Voxels outside are dropped.
+    dense_grid: tuple[int, int, int] = (96, 96, 96)
 
 
 @dataclass(frozen=True)

@@ -57,6 +57,12 @@ class UNetPlan(NamedTuple):
     grids: tuple[Any, ...]
 
 
+def plan_lookup(model_cfg, voxel_cfg) -> str:
+    """Neighbor-lookup backend implied by the configured conv schedule:
+    the dense-grid schedule needs no kernel/pool maps at all."""
+    return "dense" if model_cfg.conv_impl == "dense" else voxel_cfg.lookup
+
+
 def build_unet_plan(
     points: Array,
     point_mask: Array,
@@ -74,6 +80,18 @@ def build_unet_plan(
     """
     offsets = vx.neighbor_offsets(kernel_size)
     levels = len(capacities)
+    if lookup == "dense":
+        # Dense-grid schedule (ops/dense_grid.py): no kernel maps or pool
+        # maps at all — the UNet runs as dense 3-D convs over a static
+        # grid, so the plan is just the level-0 voxelization.
+        def one_fragment_dense(pts, pm):
+            g = vx.voxelize(pts, pm, voxel_size, capacities[0])
+            return (g.mask,), (), (), (g.num_voxels,), (g,)
+
+        masks, kmaps, pools, counts, grids = jax.vmap(one_fragment_dense)(
+            points, point_mask
+        )
+        return UNetPlan(masks, kmaps, pools, counts, grids)
     if lookup == "hash":
         from mvreg.ops.hash_table import kernel_map_hashed as kmap_fn
     elif lookup in ("sortjoin", "searchsorted"):
@@ -113,7 +131,7 @@ class SparseConv(nn.Module):
     impl: str = "fused"
 
     @nn.compact
-    def __call__(self, x: Array, kmap: Array, mask: Array) -> Array:
+    def __call__(self, x: Array, kmap: Array | None, mask: Array) -> Array:
         Cin = x.shape[-1]
         W = self.param(
             "kernel",
@@ -122,6 +140,10 @@ class SparseConv(nn.Module):
         )
         Wc = W.astype(self.dtype)
         xc = x.astype(self.dtype)
+        if x.ndim == 5:  # dense (B, X, Y, Z, C) grid schedule
+            from mvreg.ops.dense_grid import conv3
+
+            return conv3(xc, Wc)
         return jax.vmap(
             lambda f, k, m: sparse_conv(f, k, Wc, m, impl=self.impl)
         )(xc, kmap, mask)
@@ -143,6 +165,10 @@ class SparseDown(nn.Module):
         )
         Wc = W.astype(self.dtype)
         xc = x.astype(self.dtype)
+        if x.ndim == 5:  # dense grid schedule: stride-2 kernel-2 conv
+            from mvreg.ops.dense_grid import conv_down2
+
+            return conv_down2(xc, Wc)
         return jax.vmap(
             lambda f, p: sparse_conv_down(f, p, Wc, num_coarse)
         )(xc, pool)
@@ -164,6 +190,10 @@ class SparseUp(nn.Module):
         )
         Wc = W.astype(self.dtype)
         xc = x.astype(self.dtype)
+        if x.ndim == 5:  # dense grid schedule: stride-2 transpose conv
+            from mvreg.ops.dense_grid import conv_up2
+
+            return conv_up2(xc, Wc)
         return jax.vmap(
             lambda f, p, m: sparse_conv_up(f, p, Wc, m)
         )(xc, pool, fine_mask)
@@ -200,7 +230,8 @@ class FCGF(nn.Module):
     out_dim: int = 32
     compute_dtype: str = "float32"
     remat: bool = False  # rematerialize ResBlocks (memory for FLOPs)
-    conv_impl: str = "fused"  # sparse_conv schedule: fused|taps|einsum
+    conv_impl: str = "fused"  # schedule: fused|taps|einsum|dense
+    dense_grid: tuple[int, int, int] = (96, 96, 96)  # conv_impl="dense"
 
     @nn.compact
     def __call__(self, plan: UNetPlan, feats: Array, train: bool = False) -> Array:
@@ -211,6 +242,28 @@ class FCGF(nn.Module):
         )
         masks, kmaps, pools = plan.masks, plan.kmaps, plan.pools
         caps = [m.shape[-1] for m in masks]
+        row_mask = plan.masks[0]
+        dense = self.conv_impl == "dense"
+        if dense:
+            # Dense-grid schedule (ops/dense_grid.py): scatter the level-0
+            # voxel rows into a static grid once, run the whole UNet as
+            # 3-D convs with per-level occupancy masks (identical math to
+            # the gather-GEMM schedule on the same voxel set), gather rows
+            # back for the head. No kernel/pool maps needed.
+            from mvreg.ops import dense_grid as dg
+
+            coords = plan.grids[0].coords
+            row_mask = row_mask & dg.in_extent(coords, self.dense_grid)
+            occ = dg.occupancy(coords, row_mask, self.dense_grid)
+            occs = [occ]
+            for _ in range(len(c) - 1):
+                occ = dg.coarsen_occupancy(occ)
+                occs.append(occ)
+            masks = tuple(o.astype(bool) for o in occs)
+            kmaps = (None,) * len(c)
+            pools = (None,) * len(c)
+            caps = [0] * len(c)
+            feats = dg.scatter_rows(feats, coords, row_mask, self.dense_grid)
 
         # Stem
         ci = self.conv_impl
@@ -242,10 +295,15 @@ class FCGF(nn.Module):
             if l > 0:
                 h = Block(tr, dtype=dt, impl=ci)(h, kmaps[l], masks[l], train)
 
+        if dense:
+            from mvreg.ops import dense_grid as dg
+
+            h = dg.gather_rows(h, plan.grids[0].coords, row_mask)
+
         # Head: 1x1 linear + L2 normalization (no nonlinearity, as in FCGF).
         # Smooth rsqrt form: finite gradient at the exact-zero padded rows.
         out = nn.Dense(self.out_dim)(h)
         out = out * jax.lax.rsqrt(
             jnp.sum(out * out, axis=-1, keepdims=True) + 1e-12
         )
-        return out * masks[0][..., None]
+        return out * row_mask[..., None]

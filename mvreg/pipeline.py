@@ -21,7 +21,7 @@ from mvreg.config.schema import PipelineConfig
 from mvreg.core.metrics import transformation_residuals
 from mvreg.core.transforms import relative as tf_relative
 from mvreg.core.procrustes import irls_kabsch, kabsch
-from mvreg.models.fcgf import FCGF, build_unet_plan
+from mvreg.models.fcgf import FCGF, build_unet_plan, plan_lookup
 from mvreg.models.filtering import ConfidenceNet, FilteringNet, edge_statistics
 from mvreg.ops.knn import mutual_match, nn_match, soft_match
 from mvreg.sync.irls import SyncResult, synchronize
@@ -74,7 +74,7 @@ def make_models(cfg: PipelineConfig):
         fcgf = FCGF(
             channels=cfg.model.channels, out_dim=cfg.model.descriptor_dim,
             compute_dtype=cfg.model.compute_dtype, remat=cfg.model.remat,
-            conv_impl=cfg.model.conv_impl,
+            conv_impl=cfg.model.conv_impl, dense_grid=cfg.voxel.dense_grid,
         )
     fnet = FilteringNet(
         channels=cfg.filter.channels,
@@ -101,7 +101,8 @@ def init_params(key: Array, cfg: PipelineConfig) -> RegistrationParams:
     else:
         plan = build_unet_plan(
             pts, jnp.ones((1, P), bool), cfg.voxel.voxel_size,
-            cfg.voxel.capacities, cfg.voxel.kernel_size, cfg.voxel.lookup,
+            cfg.voxel.capacities, cfg.voxel.kernel_size,
+            plan_lookup(cfg.model, cfg.voxel),
         )
         feats = jnp.ones((1, cfg.voxel.capacities[0], 1))
         fcgf_vars = fcgf.init(k1, plan, feats, train=False)
@@ -139,7 +140,7 @@ def extract_descriptors(
         return Descriptors(feats=desc, centers=centers, mask=grids.mask)
     plan = build_unet_plan(
         points, mask, cfg.voxel.voxel_size, cfg.voxel.capacities,
-        cfg.voxel.kernel_size, cfg.voxel.lookup,
+        cfg.voxel.kernel_size, plan_lookup(cfg.model, cfg.voxel),
     )
     feats = input_features(plan)
     desc = fcgf.apply(params.fcgf, plan, feats, train=False)

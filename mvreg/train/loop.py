@@ -88,9 +88,11 @@ def _descriptors_train(params, stats, cfg, points, mask):
         )
         d = Descriptors(feats=desc, centers=centers, mask=grids.mask)
         return d, stats["fcgf"]
+    from mvreg.models.fcgf import plan_lookup
+
     plan = build_unet_plan(
         points, mask, cfg.voxel.voxel_size, cfg.voxel.capacities,
-        cfg.voxel.kernel_size, cfg.voxel.lookup,
+        cfg.voxel.kernel_size, plan_lookup(cfg.model, cfg.voxel),
     )
     from mvreg.pipeline import input_features
 
