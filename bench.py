@@ -40,6 +40,11 @@ CFG_OVERRIDES = {
     "filter.blocks_after": 2,
     "model.compute_dtype": "bfloat16",  # MXU fast path (f32 CPU baseline
     # kept: each backend runs its best practical precision)
+    # Conv schedule A/B hook: MVREG_CONV_IMPL=dense runs the UNet on a
+    # static dense grid (no kernel maps); default stays the measured
+    # winner for this hardware.
+    "model.conv_impl": os.environ.get("MVREG_CONV_IMPL", "fused"),
+    "voxel.dense_grid": [112, 112, 112],
 }
 
 

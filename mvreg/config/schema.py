@@ -149,6 +149,43 @@ def load_yaml(path: str) -> PipelineConfig:
         return _from_dict(PipelineConfig, yaml.safe_load(f) or {})
 
 
+def resolve_config(
+    config_path: str | None = None,
+    ckpt_dir: str | None = None,
+    sets: list[str] | tuple[str, ...] = (),
+) -> PipelineConfig:
+    """CLI config resolution: explicit YAML > checkpoint's saved config >
+    defaults, then dotted `--set key=value` overrides.
+
+    `scripts/train.py` writes its resolved config to
+    `<ckpt_dir>/config.yaml`; eval/diagnostic CLIs restoring from that
+    checkpoint pick it up automatically, so the train-time voxel/model
+    settings no longer have to be repeated by hand (a silent-quality-
+    collapse hazard: a restored descriptor evaluated under different
+    voxel settings produces garbage without erroring).
+    """
+    import logging
+    import os
+
+    saved = os.path.join(ckpt_dir, "config.yaml") if ckpt_dir else None
+    if config_path:
+        cfg = load_yaml(config_path)
+    elif saved and os.path.exists(saved):
+        cfg = load_yaml(saved)
+        logging.getLogger(__name__).info("config from checkpoint: %s", saved)
+    else:
+        cfg = PipelineConfig()
+    overrides = {}
+    for kv in sets:
+        k, v = kv.split("=", 1)
+        try:
+            v = eval(v, {}, {})  # numbers / tuples / bools
+        except Exception:
+            pass
+        overrides[k] = v
+    return override(cfg, **overrides) if overrides else cfg
+
+
 def override(cfg: PipelineConfig, **dotted: Any) -> PipelineConfig:
     """Apply dotted-path overrides: override(cfg, **{"sync.num_iters": 8})."""
     d = _to_dict(cfg)

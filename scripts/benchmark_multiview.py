@@ -57,7 +57,7 @@ def main() -> None:
     import jax
     import jax.numpy as jnp
 
-    from mvreg.config.schema import PipelineConfig, load_yaml, override
+    from mvreg.config.schema import resolve_config
     from mvreg.data.synthetic import make_scene
     from mvreg.eval.multiview import (
         format_report,
@@ -69,17 +69,7 @@ def main() -> None:
     from mvreg.train.loop import registration_params
     from mvreg.train.state import create_train_state
 
-    cfg = load_yaml(args.config) if args.config else PipelineConfig()
-    overrides = {}
-    for kv in args.set:
-        k, v = kv.split("=", 1)
-        try:
-            v = eval(v, {}, {})
-        except Exception:
-            pass
-        overrides[k] = v
-    if overrides:
-        cfg = override(cfg, **overrides)
+    cfg = resolve_config(args.config, args.ckpt, args.set)
 
     if args.ckpt:
         state = create_train_state(jax.random.PRNGKey(0), cfg)

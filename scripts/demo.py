@@ -45,7 +45,7 @@ def main() -> None:
     import jax
     import jax.numpy as jnp
 
-    from mvreg.config.schema import PipelineConfig
+    from mvreg.config.schema import resolve_config
     from mvreg.core.metrics import rotation_error_deg, translation_error
     from mvreg.core.transforms import apply_transform, relative
     from mvreg.data.synthetic import make_pair
@@ -59,7 +59,7 @@ def main() -> None:
     from mvreg.train.loop import registration_params
     from mvreg.train.state import create_train_state
 
-    cfg = PipelineConfig()
+    cfg = resolve_config(None, args.ckpt, ())
     if args.ckpt:
         state = create_train_state(jax.random.PRNGKey(0), cfg)
         state = CheckpointManager(args.ckpt).restore(state)

@@ -1,0 +1,110 @@
+#!/usr/bin/env python
+"""A/B benchmark of the full descriptor stage across conv schedules.
+
+Measures `extract_descriptors` end-to-end (voxelize + plan build + UNet)
+per schedule — the right granularity for choosing `model.conv_impl`,
+because the dense-grid schedule also removes the kernel-map construction
+that the gather-GEMM schedules pay (SURVEY.md §3.4). Readback barrier per
+rep (axon relay: block_until_ready is not a completion barrier).
+
+Usage: python scripts/descriptor_bench.py [--cpu] [--impls fused,dense]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--points", type=int, default=16384)
+    ap.add_argument("--fragments", type=int, default=8)
+    ap.add_argument("--voxel-size", type=float, default=0.025)
+    ap.add_argument("--caps", default="8192,4096,2048,1024")
+    ap.add_argument("--dense-grid", default="112,112,112")
+    ap.add_argument("--dtype", default="bfloat16")
+    ap.add_argument("--impls", default="fused,taps,dense")
+    ap.add_argument("--reps", type=int, default=5)
+    ap.add_argument("--json-out", default=None)
+    args = ap.parse_args()
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+    import numpy as np
+
+    import jax
+    import jax.numpy as jnp
+
+    from mvreg.config.schema import PipelineConfig, override
+    from mvreg.data.synthetic import make_pair
+    from mvreg.pipeline import extract_descriptors, init_params
+
+    caps = tuple(int(c) for c in args.caps.split(","))
+    grid = tuple(int(g) for g in args.dense_grid.split(","))
+    F = args.fragments
+    pts = np.zeros((F, args.points, 3), np.float32)
+    msk = np.zeros((F, args.points), bool)
+    for b in range(0, F, 2):
+        scene = make_pair(seed=b, points_per_fragment=args.points)
+        pts[b : b + 2] = scene.points[: F - b]
+        msk[b : b + 2] = scene.mask[: F - b]
+    points, mask = jnp.asarray(pts), jnp.asarray(msk)
+
+    results = {}
+    for impl in args.impls.split(","):
+        cfg = override(
+            PipelineConfig(),
+            **{
+                "voxel.voxel_size": args.voxel_size,
+                "voxel.capacities": list(caps),
+                "voxel.dense_grid": list(grid),
+                "model.compute_dtype": args.dtype,
+                "model.conv_impl": impl,
+            },
+        )
+        params = init_params(jax.random.PRNGKey(0), cfg)
+        f = jax.jit(lambda p, m: extract_descriptors(params, cfg, p, m))
+        try:
+            out = f(points, mask)
+            np.asarray(out.feats[0, 0])
+            t0 = time.perf_counter()
+            for r in range(args.reps):
+                out = f(points + 1e-4 * r, mask)
+                np.asarray(out.feats[0, 0])
+            dt = (time.perf_counter() - t0) / args.reps
+        except Exception as e:  # OOM on big grids etc. — report, keep going
+            results[impl] = {"error": str(e)[:200]}
+            print(impl, "ERROR", str(e)[:200])
+            continue
+        results[impl] = {
+            "ms_per_batch": round(dt * 1e3, 2),
+            "fragments_per_s": round(F / dt, 2),
+        }
+        print(impl, results[impl])
+
+    payload = {
+        "descriptor_bench": results,
+        "backend": jax.default_backend(),
+        "points": args.points,
+        "fragments": F,
+        "caps": list(caps),
+        "dense_grid": list(grid),
+        "dtype": args.dtype,
+    }
+    print(json.dumps(payload))
+    if args.json_out:
+        with open(args.json_out, "w") as fh:
+            json.dump(payload, fh, indent=2)
+
+
+if __name__ == "__main__":
+    main()

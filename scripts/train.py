@@ -58,25 +58,21 @@ def main() -> None:
 
     import jax
 
-    from mvreg.config.schema import PipelineConfig, load_yaml, override
+    from mvreg.config.schema import resolve_config, save_yaml
     from mvreg.data.batching import synthetic_pair_stream
     from mvreg.train.checkpoints import CheckpointManager
     from mvreg.train.loop import make_train_step
     from mvreg.train.metrics import MetricLogger
     from mvreg.train.state import create_train_state
 
-    cfg = load_yaml(args.config) if args.config else PipelineConfig()
-    overrides = {}
-    for kv in args.set:
-        k, v = kv.split("=", 1)
-        try:
-            v = eval(v, {}, {})  # numbers / tuples / bools
-        except Exception:
-            pass
-        overrides[k] = v
-    if overrides:
-        cfg = override(cfg, **overrides)
+    # On --resume, the checkpoint's saved config is the base (so later
+    # stages inherit the train-time voxel/model settings automatically).
+    cfg = resolve_config(
+        args.config, args.ckpt_dir if args.resume else None, args.set
+    )
     steps = args.steps if args.steps is not None else cfg.train.steps
+    os.makedirs(args.ckpt_dir, exist_ok=True)
+    save_yaml(cfg, os.path.join(args.ckpt_dir, "config.yaml"))
 
     state = create_train_state(jax.random.PRNGKey(cfg.train.seed), cfg)
     mgr = CheckpointManager(args.ckpt_dir)

@@ -70,3 +70,34 @@ def test_make_pair():
     pair = make_pair(seed=7, points_per_fragment=512)
     assert pair.points.shape[0] == 2
     assert pair.mask.sum() > 500
+
+
+def test_resolve_config_precedence(tmp_path):
+    """Explicit YAML > checkpoint-saved config > defaults, then --set."""
+    from mvreg.config.schema import (
+        PipelineConfig,
+        override,
+        resolve_config,
+        save_yaml,
+    )
+
+    ckpt = tmp_path / "ckpt"
+    ckpt.mkdir()
+    save_yaml(
+        override(PipelineConfig(), **{"voxel.voxel_size": 0.05}),
+        str(ckpt / "config.yaml"),
+    )
+    explicit = tmp_path / "explicit.yaml"
+    save_yaml(
+        override(PipelineConfig(), **{"voxel.voxel_size": 0.1}),
+        str(explicit),
+    )
+
+    assert resolve_config(None, None, ()).voxel.voxel_size == 0.025
+    assert resolve_config(None, str(ckpt), ()).voxel.voxel_size == 0.05
+    assert resolve_config(str(explicit), str(ckpt), ()).voxel.voxel_size == 0.1
+    got = resolve_config(None, str(ckpt), ["voxel.voxel_size=0.2"])
+    assert got.voxel.voxel_size == 0.2
+    # tuple-valued --set survives the eval round-trip
+    got = resolve_config(None, None, ["voxel.capacities=(64,32,16,8)"])
+    assert got.voxel.capacities == (64, 32, 16, 8)
