@@ -21,3 +21,17 @@ Layout (see SURVEY.md §7):
 """
 
 __version__ = "0.1.0"
+
+
+def __getattr__(name):
+    # Lazy top-level exports: `from mvreg import Registrar` without
+    # paying jax/flax import cost for modules that don't need it.
+    if name in ("Registrar", "SceneRegistration", "PairRegistration"):
+        from mvreg import api
+
+        return getattr(api, name)
+    if name == "PipelineConfig":
+        from mvreg.config.schema import PipelineConfig
+
+        return PipelineConfig
+    raise AttributeError(f"module 'mvreg' has no attribute {name!r}")
