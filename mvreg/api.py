@@ -11,9 +11,8 @@ robust Procrustes → confidence → IRLS synchronization) behind two calls:
     result.R, result.t       # absolute poses, fragment-local -> global
     reg.register_pair(a, b)  # pairwise T_ab only
 
-Ragged inputs are padded host-side to the configured static shapes; the
-jitted program is compiled once per (num_fragments, num_points) bucket
-and cached on the instance.
+Ragged inputs are padded host-side to the configured static shapes; jit
+compiles one executable per (num_fragments, num_points) shape bucket.
 """
 
 from __future__ import annotations
@@ -93,7 +92,10 @@ class Registrar:
         # IRLS/RANSAC path unless the caller loaded a checkpoint.
         self.use_filter = (params is not None) if use_filter is None \
             else use_filter
-        self._compiled: dict = {}
+        # One jitted callable per entry point; jax.jit itself caches one
+        # executable per input-shape bucket.
+        self._scene_jit = None
+        self._pair_jit = None
 
     @classmethod
     def from_checkpoint(
@@ -103,23 +105,37 @@ class Registrar:
         use_filter: bool = True,
     ) -> "Registrar":
         """Restore params (+ the checkpoint's saved config) from orbax."""
+        import os
+        import warnings
+
         from mvreg.train.checkpoints import CheckpointManager
         from mvreg.train.loop import registration_params
         from mvreg.train.state import create_train_state
 
+        if cfg is None and not os.path.exists(
+            os.path.join(ckpt_dir, "config.yaml")
+        ):
+            warnings.warn(
+                f"{ckpt_dir} has no config.yaml (checkpoint predates "
+                "config-carrying); falling back to default config. If the "
+                "model was trained with non-default voxel/model settings "
+                "the restored descriptors will be silently wrong — pass "
+                "cfg= explicitly.",
+                stacklevel=2,
+            )
         cfg = cfg or resolve_config(None, ckpt_dir, ())
         state = create_train_state(jax.random.PRNGKey(0), cfg)
         state = CheckpointManager(ckpt_dir).restore(state)
         return cls(cfg, registration_params(state), use_filter=use_filter)
 
-    def _scene_fn(self, key):
-        if key not in self._compiled:
-            self._compiled[key] = jax.jit(
+    def _scene_fn(self):
+        if self._scene_jit is None:
+            self._scene_jit = jax.jit(
                 lambda p, x, m: _register_scene(
                     p, self.cfg, x, m, use_filter=self.use_filter
                 )
             )
-        return self._compiled[key]
+        return self._scene_jit
 
     def register(
         self,
@@ -135,8 +151,9 @@ class Registrar:
         if len(clouds) < 2:
             raise ValueError("need at least 2 fragments")
         pts, msk = _pad_clouds(clouds, num_points)
-        fn = self._scene_fn(("scene", len(clouds), pts.shape[1]))
-        out = fn(self.params, jnp.asarray(pts), jnp.asarray(msk))
+        out = self._scene_fn()(
+            self.params, jnp.asarray(pts), jnp.asarray(msk)
+        )
         R = np.asarray(out.sync.R)
         t = np.asarray(out.sync.t)
         # Gauge fix T'_n = T_0⁻¹ ∘ T_n: sync's world frame is arbitrary,
@@ -162,8 +179,7 @@ class Registrar:
     ) -> PairRegistration:
         """Estimate the rigid transform mapping cloud_a into cloud_b."""
         pts, msk = _pad_clouds([cloud_a, cloud_b], num_points)
-        key = ("pair", pts.shape[1])
-        if key not in self._compiled:
+        if self._pair_jit is None:
             def fn(p, x, m):
                 d = extract_descriptors(p, self.cfg, x, m)
                 da = jax.tree_util.tree_map(lambda a: a[0], d)
@@ -171,8 +187,8 @@ class Registrar:
                 return _register_pair(
                     p, self.cfg, da, db, use_filter=self.use_filter
                 )
-            self._compiled[key] = jax.jit(fn)
-        out = self._compiled[key](
+            self._pair_jit = jax.jit(fn)
+        out = self._pair_jit(
             self.params, jnp.asarray(pts), jnp.asarray(msk)
         )
         return PairRegistration(

@@ -56,7 +56,7 @@ def worker(args) -> None:
     import jax
     import jax.numpy as jnp
 
-    from mvreg.config.schema import PipelineConfig, override
+    from mvreg.config.schema import resolve_config
     from mvreg.data.synthetic import make_scene
     from mvreg.eval.multiview import (
         format_report,
@@ -71,20 +71,16 @@ def worker(args) -> None:
         register_pair,
     )
 
-    cfg = override(
-        PipelineConfig(),
-        **{
-            "voxel.voxel_size": 0.05,
-            "voxel.capacities": (4096, 2048, 1024, 512),
-        },
+    # Checkpoint-saved config wins; the legacy eval preset is only the
+    # base for checkpoints that predate config-carrying (or no ckpt).
+    saved = args.ckpt and os.path.exists(
+        os.path.join(args.ckpt, "config.yaml")
     )
-    for kv in args.set:
-        k, v = kv.split("=", 1)
-        try:
-            v = eval(v, {}, {})
-        except Exception:
-            pass
-        cfg = override(cfg, **{k: v})
+    preset = [] if saved else [
+        "voxel.voxel_size=0.05",
+        "voxel.capacities=(4096,2048,1024,512)",
+    ]
+    cfg = resolve_config(None, args.ckpt, preset + list(args.set))
 
     params = init_params(jax.random.PRNGKey(0), cfg)
     if args.ckpt:

@@ -72,13 +72,16 @@ def main() -> None:
             },
         )
         params = init_params(jax.random.PRNGKey(0), cfg)
-        f = jax.jit(lambda p, m: extract_descriptors(params, cfg, p, m))
+        # params passed as a runtime argument (not closure-captured) so
+        # weights aren't baked in as compile-time constants — matches how
+        # the pipeline/bench.py call it.
+        f = jax.jit(lambda w, p, m: extract_descriptors(w, cfg, p, m))
         try:
-            out = f(points, mask)
+            out = f(params, points, mask)
             np.asarray(out.feats[0, 0])
             t0 = time.perf_counter()
             for r in range(args.reps):
-                out = f(points + 1e-4 * r, mask)
+                out = f(params, points + 1e-4 * r, mask)
                 np.asarray(out.feats[0, 0])
             dt = (time.perf_counter() - t0) / args.reps
         except Exception as e:  # OOM on big grids etc. — report, keep going

@@ -41,7 +41,7 @@ def main() -> None:
     import jax
     import jax.numpy as jnp
 
-    from mvreg.config.schema import PipelineConfig, override
+    from mvreg.config.schema import resolve_config
     from mvreg.core.metrics import transformation_residuals
     from mvreg.core.procrustes import irls_kabsch
     from mvreg.data.synthetic import make_pair
@@ -52,23 +52,14 @@ def main() -> None:
         init_params, input_features, make_models, select_keypoints,
     )
 
-    cfg = override(
-        PipelineConfig(),
-        **{
-            "voxel.capacities": [8192, 4096, 2048, 1024],
-            "model.compute_dtype": "bfloat16",
-        },
+    cfg = resolve_config(
+        None, None,
+        [
+            "voxel.capacities=(8192,4096,2048,1024)",
+            "model.compute_dtype='bfloat16'",
+        ]
+        + list(args.set),
     )
-    overrides = {}
-    for kv in args.set:
-        k, v = kv.split("=", 1)
-        try:
-            v = eval(v, {}, {})
-        except Exception:
-            pass
-        overrides[k] = v
-    if overrides:
-        cfg = override(cfg, **overrides)
 
     params = init_params(jax.random.PRNGKey(0), cfg)
     B = args.pairs

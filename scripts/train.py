@@ -72,13 +72,16 @@ def main() -> None:
     )
     steps = args.steps if args.steps is not None else cfg.train.steps
     os.makedirs(args.ckpt_dir, exist_ok=True)
-    save_yaml(cfg, os.path.join(args.ckpt_dir, "config.yaml"))
 
     state = create_train_state(jax.random.PRNGKey(cfg.train.seed), cfg)
     mgr = CheckpointManager(args.ckpt_dir)
     if args.resume and mgr.latest_step() is not None:
         state = mgr.restore(state)
         logging.info("resumed from step %d", int(state.step))
+    # Record the train-time config only once the restore (if any) has
+    # validated that cfg matches the stored weights — a failed resume
+    # must not clobber the checkpoint's authoritative config.yaml.
+    save_yaml(cfg, os.path.join(args.ckpt_dir, "config.yaml"))
 
     step_fn = make_train_step(cfg, stage=args.stage)
     mlog = MetricLogger(os.path.join(args.ckpt_dir, "tb"), args.log_every)
