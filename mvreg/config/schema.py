@@ -52,6 +52,9 @@ class MatchConfig:
     irls_iters: int = 3  # robust Procrustes reweighting (RANSAC stand-in)
     irls_scale: float = 0.05  # Cauchy scale, meters
     estimator: str = "irls"  # robust solver at eval: "irls" | "ransac"
+    # Edges vmapped per lax.map chunk in register_scene: bigger chunks =
+    # larger batched GEMMs (MXU utilization) at higher peak memory.
+    edge_batch: int = 16
     ransac_hypotheses: int = 512
     ransac_sample_size: int = 3
     ransac_threshold: float = 0.075  # meters

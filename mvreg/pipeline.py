@@ -315,7 +315,10 @@ def register_scene(
 
     # Chunked vmap: batches the per-edge matching/filtering GEMMs into
     # MXU-sized contractions without materializing all E distance blocks.
-    pairs = jax.lax.map(one_edge, edge_idx, batch_size=min(8, N))
+    E = edge_idx.shape[0]
+    pairs = jax.lax.map(
+        one_edge, edge_idx, batch_size=min(cfg.match.edge_batch, E)
+    )
 
     c_init = pairs.confidence * (
         pairs.confidence >= cfg.sync.confidence_threshold

@@ -323,7 +323,12 @@ def sync_loss_fn(
         lambda Rs, ts: tf_relative(Rs[i], ts[i], Rs[j], ts[j])
     )(sync.R, sync.t)
     rot_l = jnp.mean(jnp.sum((R_sy_ij - R_gt_ij) ** 2, axis=(-2, -1)))
-    tr_l = jnp.mean(jnp.sum((t_sy_ij - t_gt_ij) ** 2, axis=-1))
+    # Chordal rot term is bounded (<= 8/edge) but translation L2 is not:
+    # a collapsed sync on a degenerate graph explodes it (observed >13)
+    # and its gradient with it. Cauchy-robustify at a 1 m scale — quadratic
+    # near zero, logarithmic growth on outlier scenes.
+    t_d2 = jnp.sum((t_sy_ij - t_gt_ij) ** 2, axis=-1)
+    tr_l = jnp.mean(jnp.log1p(t_d2))
     total = rot_l + 0.5 * tr_l
 
     # Keep pairwise heads anchored: BCE on inliers + confidence BCE.

@@ -60,7 +60,13 @@ def make_optimizer(cfg: PipelineConfig) -> optax.GradientTransformation:
     )
     # Garbage early-training correspondences can spike gradients through
     # the Procrustes solve; global-norm clipping keeps the step bounded.
-    return optax.chain(optax.clip_by_global_norm(1.0), opt)
+    # zero_nans comes first: a single NaN gradient (e.g. an eigh backward
+    # on a near-degenerate pose graph in the sync stage) would otherwise
+    # turn the clipped global norm — and then every parameter — into NaN
+    # in one step.
+    return optax.chain(
+        optax.zero_nans(), optax.clip_by_global_norm(1.0), opt
+    )
 
 
 def create_train_state(key: Array, cfg: PipelineConfig) -> TrainState:

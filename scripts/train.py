@@ -104,8 +104,17 @@ def main() -> None:
             break
         state, metrics = step_fn(state, batch)
         mlog.log(int(state.step), metrics)
+        loss = float(metrics["loss_total"])
+        if loss != loss:  # NaN guard: never checkpoint a poisoned state
+            logging.error(
+                "non-finite loss at step %d — halting WITHOUT saving "
+                "(last good checkpoint: %s)", int(state.step),
+                mgr.latest_step(),
+            )
+            mlog.flush()
+            sys.exit(3)
         if int(state.step) % cfg.train.checkpoint_every == 0:
-            mgr.save(state, {"loss": float(metrics["loss_total"])})
+            mgr.save(state, {"loss": loss})
     mgr.save(state)
     mlog.flush()
     logging.info("done at step %d", int(state.step))
