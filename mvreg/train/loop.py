@@ -379,6 +379,21 @@ def make_train_step(
         (loss, (new_stats, metrics)), grads = jax.value_and_grad(
             lf, has_aux=True
         )(state.params, state.batch_stats, cfg, batch)
+        # Zero non-finite gradients before clipping: one NaN leaf (e.g.
+        # an eigh backward on a near-degenerate pose graph in the sync
+        # stage) otherwise turns the clipped global norm — and then every
+        # parameter — into NaN in a single step. Stateless on purpose so
+        # the opt_state pytree (and checkpoint compat) is unchanged.
+        bad = jnp.any(
+            jnp.asarray(
+                [jnp.any(~jnp.isfinite(g))
+                 for g in jax.tree_util.tree_leaves(grads)]
+            )
+        )
+        grads = jax.tree_util.tree_map(
+            lambda g: jnp.where(jnp.isfinite(g), g, 0.0), grads
+        )
+        metrics["nonfinite_grad_steps"] = bad.astype(jnp.float32)
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
         return (

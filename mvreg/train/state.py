@@ -60,13 +60,11 @@ def make_optimizer(cfg: PipelineConfig) -> optax.GradientTransformation:
     )
     # Garbage early-training correspondences can spike gradients through
     # the Procrustes solve; global-norm clipping keeps the step bounded.
-    # zero_nans comes first: a single NaN gradient (e.g. an eigh backward
-    # on a near-degenerate pose graph in the sync stage) would otherwise
-    # turn the clipped global norm — and then every parameter — into NaN
-    # in one step.
-    return optax.chain(
-        optax.zero_nans(), optax.clip_by_global_norm(1.0), opt
-    )
+    # (NaN gradients are zeroed in the train step itself — see
+    # loop.py::make_train_step — NOT via optax.zero_nans, which would
+    # change the opt_state pytree and break restore of existing
+    # checkpoints.)
+    return optax.chain(optax.clip_by_global_norm(1.0), opt)
 
 
 def create_train_state(key: Array, cfg: PipelineConfig) -> TrainState:
