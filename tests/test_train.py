@@ -150,3 +150,15 @@ def test_sync_stage_trains_through_synchronization(cfg):
         assert np.isfinite(losses[-1])
         assert np.isfinite(float(metrics["sync_rot_err_deg"]))
     assert losses[-1] < losses[0] * 1.5  # no blow-up under optimization
+
+
+def test_checkpoint_opt_state_contract():
+    """The optimizer-state pytree is part of the on-disk checkpoint
+    format: changing make_optimizer's chain length breaks StandardRestore
+    of every existing checkpoint (list-length mismatch). Change this
+    test only together with a checkpoint-migration path."""
+    from mvreg.train.state import make_optimizer
+
+    tx = make_optimizer(PipelineConfig())
+    state = tx.init({"w": jnp.zeros((2, 2))})
+    assert len(state) == 2  # (clip_by_global_norm, adam)
