@@ -32,6 +32,10 @@ def main() -> None:
     ap.add_argument("--dtype", default="bfloat16")
     ap.add_argument("--impls", default="fused,taps,dense")
     ap.add_argument("--reps", type=int, default=5)
+    ap.add_argument("--scan-iters", type=int, default=8,
+                    help="chain this many data-dependent UNet passes per "
+                    "dispatch; the marginal cost isolates device compute "
+                    "from the relay's ~300 ms dispatch/readback floor")
     ap.add_argument("--json-out", default=None)
     args = ap.parse_args()
     if args.cpu:
@@ -72,25 +76,44 @@ def main() -> None:
             },
         )
         params = init_params(jax.random.PRNGKey(0), cfg)
+
         # params passed as a runtime argument (not closure-captured) so
         # weights aren't baked in as compile-time constants — matches how
         # the pipeline/bench.py call it.
-        f = jax.jit(lambda w, p, m: extract_descriptors(w, cfg, p, m))
+        def run_scan(w, p, m, iters):
+            # Each pass perturbs the points by a descriptor-dependent
+            # epsilon: a true sequential data dependency, so XLA can
+            # neither batch nor dead-code-eliminate the chain.
+            def body(pts, _):
+                d = extract_descriptors(w, cfg, pts, m)
+                eps = 1e-6 * jnp.mean(d.feats)
+                return pts * (1.0 + eps), d.feats[0, 0, 0]
+            return jax.lax.scan(body, p, None, length=iters)[1]
+
+        S = args.scan_iters
+        f1 = jax.jit(lambda w, p, m: run_scan(w, p, m, 1))
+        fS = jax.jit(lambda w, p, m: run_scan(w, p, m, S))
         try:
-            out = f(params, points, mask)
-            np.asarray(out.feats[0, 0])
-            t0 = time.perf_counter()
-            for r in range(args.reps):
-                out = f(params, points + 1e-4 * r, mask)
-                np.asarray(out.feats[0, 0])
-            dt = (time.perf_counter() - t0) / args.reps
+            np.asarray(f1(params, points, mask))
+            np.asarray(fS(params, points, mask))
+
+            def timed(fn):
+                t0 = time.perf_counter()
+                for r in range(args.reps):
+                    np.asarray(fn(params, points + 1e-4 * r, mask))
+                return (time.perf_counter() - t0) / args.reps
+            dt1, dtS = timed(f1), timed(fS)
+            # Marginal per-pass device time, free of dispatch overhead.
+            marginal = max((dtS - dt1) / (S - 1), 1e-9)
         except Exception as e:  # OOM on big grids etc. — report, keep going
             results[impl] = {"error": str(e)[:200]}
             print(impl, "ERROR", str(e)[:200])
             continue
         results[impl] = {
-            "ms_per_batch": round(dt * 1e3, 2),
-            "fragments_per_s": round(F / dt, 2),
+            "ms_per_batch_e2e": round(dt1 * 1e3, 2),
+            "ms_per_batch_marginal": round(marginal * 1e3, 2),
+            "fragments_per_s_e2e": round(F / dt1, 2),
+            "fragments_per_s_marginal": round(F / marginal, 2),
         }
         print(impl, results[impl])
 
