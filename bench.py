@@ -27,6 +27,7 @@ CPU_CACHE = os.path.join(REPO, "BENCH_CPU_BASELINE.json")
 # ~10^5 points -> ~10^4 voxels at 2.5 cm).
 POINTS = 16384
 BATCH_PAIRS = 4  # 8 fragments per step
+SCAN_ITERS = 5  # chained steps per dispatch (steady-state protocol)
 CFG_OVERRIDES = {
     "voxel.capacities": [8192, 4096, 2048, 1024],
     "voxel.voxel_size": 0.025,
@@ -83,7 +84,23 @@ def build():
             return out.R, out.t, out.confidence
         return jax.lax.map(one_pair, jnp.arange(BATCH_PAIRS), batch_size=BATCH_PAIRS)
 
-    return jax.jit(step), (params, points, mask)
+    def chained(params, points, mask, iters):
+        # Steady-state protocol: chain `iters` data-dependent pipeline
+        # steps per dispatch (each step perturbs the points by an
+        # output-dependent epsilon, so XLA can neither batch nor DCE the
+        # chain). The marginal per-step time measures the machine;
+        # per-dispatch timing would measure the host/relay round-trip
+        # floor (~315 ms through the axon relay — larger than the
+        # compute itself).
+        def body(pts, _):
+            R, t, conf = step(params, pts, mask)
+            eps = 1e-6 * jnp.mean(R)
+            return pts * (1.0 + eps), conf
+        return jax.lax.scan(body, points, None, length=iters)[1]
+
+    f1 = jax.jit(lambda p, x, m: chained(p, x, m, 1))
+    fS = jax.jit(lambda p, x, m: chained(p, x, m, SCAN_ITERS))
+    return f1, fS, (params, points, mask)
 
 
 def _sync(out):
@@ -99,27 +116,36 @@ def _sync(out):
     np.asarray(out[0])
 
 
-def measure(reps: int, warmup: int = 1) -> float:
-    """Fragments/s of the jitted pairwise pipeline on this backend.
+def measure(reps: int, warmup: int = 1) -> tuple[float, float]:
+    """(steady_state, e2e) fragments/s of the pipeline on this backend.
 
+    steady_state: marginal per-step time inside a chained scan — device
+    throughput, free of the per-dispatch host/relay round trip.
+    e2e: single dispatch incl. that round trip (the dev-relay floor).
     Defensive timing: distinct inputs per rep (defeats any memoization),
     per-rep readback barrier, two passes averaged (slower pass wins if
     they disagree by >2x).
     """
-    f, (params, points, mask) = build()
+    f1, fS, (params, points, mask) = build()
     variants = [points + 1e-4 * k for k in range(max(reps, warmup))]
     for k in range(warmup):
-        _sync(f(params, variants[k], mask))
+        _sync(f1(params, variants[k], mask))
+        _sync(fS(params, variants[k], mask))
 
-    def one_pass():
+    def one_pass(f):
         t0 = time.perf_counter()
         for k in range(reps):
             _sync(f(params, variants[k], mask))
         return (time.perf_counter() - t0) / reps
 
-    dts = [one_pass(), one_pass()]
-    dt = max(dts) if max(dts) > 2 * min(dts) else sum(dts) / 2
-    return (BATCH_PAIRS * 2) / dt
+    def robust(f):
+        dts = [one_pass(f), one_pass(f)]
+        return max(dts) if max(dts) > 2 * min(dts) else sum(dts) / 2
+
+    dt1, dtS = robust(f1), robust(fS)
+    marginal = max((dtS - dt1) / (SCAN_ITERS - 1), 1e-9)
+    frags = BATCH_PAIRS * 2
+    return frags / marginal, frags / dt1
 
 
 def cpu_baseline() -> float:
@@ -148,13 +174,13 @@ def main():
         import jax
 
         jax.config.update("jax_platform_name", "cpu")
-        val = measure(reps=1, warmup=1)
+        val, _ = measure(reps=1, warmup=1)
         print(json.dumps({"fragments_per_s": val}))
         return
 
     import jax
 
-    frag_s = measure(reps=5, warmup=2)
+    frag_s, frag_s_e2e = measure(reps=3, warmup=1)
     try:
         base = cpu_baseline()
         vs = frag_s / base if base > 0 else float("nan")
@@ -167,6 +193,7 @@ def main():
                 "value": round(frag_s, 3),
                 "unit": "fragments/s",
                 "vs_baseline": round(vs, 2) if vs == vs else None,
+                "e2e_fragments_per_s": round(frag_s_e2e, 3),
             }
         )
     )
