@@ -211,10 +211,19 @@ def register_pair(
     fd, fc, fm = select_keypoints(kd, kc, km, K)
 
     if use_soft_match:
-        y = soft_match(
-            fd, fm, desc_j.feats, desc_j.mask, desc_j.centers,
-            cfg.match.soft_temperature,
-        )
+        if cfg.match.backend == "pallas":
+            from mvreg.ops.pallas.soft_match import soft_match_pallas
+
+            y = soft_match_pallas(
+                fd, fm, desc_j.feats, desc_j.mask, desc_j.centers,
+                cfg.match.soft_temperature,
+                interpret=jax.default_backend() == "cpu",
+            )
+        else:
+            y = soft_match(
+                fd, fm, desc_j.feats, desc_j.mask, desc_j.centers,
+                cfg.match.soft_temperature,
+            )
         corr_mask = fm
     elif cfg.match.mutual:
         if cfg.match.backend == "pallas":
