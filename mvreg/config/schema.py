@@ -90,6 +90,12 @@ class TrainConfig:
     seed: int = 0
     checkpoint_every: int = 500
     bf16: bool = True  # bfloat16 feature path, fp32 solves
+    # Synthetic-pair curriculum: crop-center shift range (m) and the
+    # fraction of zero-overlap negative pairs (filter/confidence
+    # calibration for junk edges — see data/batching.py).
+    shift_min: float = 0.5
+    shift_max: float = 0.5
+    negative_fraction: float = 0.0
 
 
 @dataclass(frozen=True)

@@ -28,16 +28,48 @@ def synthetic_pair_batch(
     batch_size: int,
     points_per_fragment: int = 2048,
     noise: float = 0.005,
+    shift_range: tuple[float, float] = (0.5, 0.5),
+    negative_fraction: float = 0.0,
 ) -> PairBatch:
-    """Build a PairBatch of synthetic overlapping fragment pairs."""
+    """Build a PairBatch of synthetic fragment pairs.
+
+    shift_range: crop-center shift (m) sampled per pair — an overlap
+    curriculum (the recall protocol evaluates non-consecutive, i.e.
+    low-overlap, pairs; training only on one easy shift leaves the
+    descriptor untrained there).
+    negative_fraction: probability of a ZERO-overlap pair (crops ≥ one
+    crop diameter apart). Negatives carry no pose supervision (the train
+    loss already gates on GT-inlier count) but teach the filter to emit
+    all-outlier labels and the confidence head to flag junk edges — the
+    calibration that 30-fragment pose graphs need, where most of the
+    C(N,2) edges are junk.
+    """
     pts = np.zeros((batch_size, 2, points_per_fragment, 3), np.float32)
     msk = np.zeros((batch_size, 2, points_per_fragment), bool)
     Rij = np.zeros((batch_size, 3, 3), np.float32)
     tij = np.zeros((batch_size, 3), np.float32)
     for b in range(batch_size):
-        scene = synthetic.make_pair(
-            seed * 10007 + b, points_per_fragment, noise
-        )
+        r = np.random.default_rng(seed * 65599 + b)
+        if r.random() < negative_fraction:
+            # Zero-overlap negative: opposite-corner crops of the SAME
+            # world (the make_scene walk clips centers to the world box,
+            # so no overlap_shift value can guarantee separation; corner
+            # placement gives >=3.1 m in xy > 2.4 m crop diameter).
+            c0 = np.array([r.uniform(0.5, 0.9), r.uniform(0.5, 0.9),
+                           r.uniform(0.1, 0.4)])
+            c1 = np.array([r.uniform(3.1, 3.5), r.uniform(3.1, 3.5),
+                           r.uniform(0.1, 0.4)])
+            scene = synthetic.make_scene(
+                seed * 10007 + b, num_fragments=2,
+                points_per_fragment=points_per_fragment, noise=noise,
+                centers_override=np.stack([c0, c1]),
+            )
+        else:
+            shift = float(r.uniform(*shift_range))
+            scene = synthetic.make_pair(
+                seed * 10007 + b, points_per_fragment, noise,
+                overlap_shift=shift,
+            )
         pts[b] = scene.points
         msk[b] = scene.mask
         R, t = _relative_np(
@@ -53,6 +85,8 @@ def synthetic_pair_stream(
     points_per_fragment: int = 2048,
     noise: float = 0.005,
     pool_pairs: int = 0,
+    shift_range: tuple[float, float] = (0.5, 0.5),
+    negative_fraction: float = 0.0,
 ):
     """Generator of PairBatches (deterministic in seed).
 
@@ -66,7 +100,8 @@ def synthetic_pair_stream(
         step = 0
         while True:
             yield synthetic_pair_batch(
-                seed + step, batch_size, points_per_fragment, noise
+                seed + step, batch_size, points_per_fragment, noise,
+                shift_range, negative_fraction,
             )
             step += 1
         return
@@ -74,7 +109,8 @@ def synthetic_pair_stream(
     n_batches = (pool_pairs + batch_size - 1) // batch_size
     pool = [
         synthetic_pair_batch(
-            seed + k, batch_size, points_per_fragment, noise
+            seed + k, batch_size, points_per_fragment, noise,
+            shift_range, negative_fraction,
         )
         for k in range(n_batches)
     ]

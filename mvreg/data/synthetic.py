@@ -120,6 +120,7 @@ def make_scene(
     world_points: int = 150_000,
     min_overlap_shift: float = 0.6,
     rotation_mode: str = "gravity",
+    centers_override: np.ndarray | None = None,
 ) -> Scene:
     """Generate a scene of partially-overlapping fragments with GT poses.
 
@@ -127,17 +128,31 @@ def make_scene(
     fragments overlap (shift < crop diameter); each crop is mapped into a
     random local frame by the *inverse* of its GT pose, with Gaussian
     noise added in the local frame.
+
+    centers_override: (num_fragments, 3) explicit world-frame crop
+    centers, replacing the random walk (the walk clips to the world box,
+    so it cannot place crops at guaranteed-disjoint separations — callers
+    building zero-overlap negatives need explicit placement).
     """
     rng = np.random.default_rng(seed)
     world = sample_world_surface(rng, world_points, extent)
 
-    centers = np.zeros((num_fragments, 3))
-    c = rng.uniform(1.0, extent - 1.0, size=3) * np.array([1, 1, 0.2])
-    for k in range(num_fragments):
-        centers[k] = c
-        step = rng.normal(size=3) * np.array([1.0, 1.0, 0.1])
-        step = step / (np.linalg.norm(step) + 1e-9) * min_overlap_shift
-        c = np.clip(c + step, [0.5, 0.5, -0.5], [extent - 0.5, extent - 0.5, 1.0])
+    if centers_override is not None:
+        centers = np.asarray(centers_override, float).reshape(
+            num_fragments, 3
+        )
+    else:
+        centers = np.zeros((num_fragments, 3))
+        c = rng.uniform(1.0, extent - 1.0, size=3) * np.array([1, 1, 0.2])
+        for k in range(num_fragments):
+            centers[k] = c
+            step = rng.normal(size=3) * np.array([1.0, 1.0, 0.1])
+            step = step / (np.linalg.norm(step) + 1e-9) * min_overlap_shift
+            c = np.clip(
+                c + step,
+                [0.5, 0.5, -0.5],
+                [extent - 0.5, extent - 0.5, 1.0],
+            )
 
     if rotation_mode == "so3":
         R_gt = _random_rotation(rng, num_fragments)

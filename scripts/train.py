@@ -96,6 +96,8 @@ def main() -> None:
         stream = synthetic_pair_stream(
             cfg.train.seed, cfg.train.batch_pairs, args.points,
             pool_pairs=args.pool_pairs,
+            shift_range=(cfg.train.shift_min, cfg.train.shift_max),
+            negative_fraction=cfg.train.negative_fraction,
         )
 
     start = int(state.step)

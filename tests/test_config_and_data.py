@@ -101,3 +101,34 @@ def test_resolve_config_precedence(tmp_path):
     # tuple-valued --set survives the eval round-trip
     got = resolve_config(None, None, ["voxel.capacities=(64,32,16,8)"])
     assert got.voxel.capacities == (64, 32, 16, 8)
+
+
+def test_pair_curriculum_and_negatives():
+    """Overlap curriculum + zero-overlap negative pairs (batching.py)."""
+    from mvreg.data.batching import synthetic_pair_batch
+
+    # Wide shift range produces varying overlap; negative pairs have no
+    # world-space overlap at all.
+    b = synthetic_pair_batch(
+        7, 6, points_per_fragment=512, shift_range=(0.3, 1.2),
+        negative_fraction=1.0,
+    )
+    for k in range(6):
+        p0 = b.points[k, 0][b.mask[k, 0]]
+        p1 = b.points[k, 1][b.mask[k, 1]]
+        w0 = p0 @ b.R_ij[k].T + b.t_ij[k]  # into frame 1 via GT
+        d = np.linalg.norm(w0[:, None, :] - w1_sub(p1)[None], axis=-1)
+        assert (d.min(axis=1) < 0.05).mean() < 0.02  # ~no overlap
+
+
+def w1_sub(p, n=400):
+    return p[:: max(1, len(p) // n)][:n]
+
+
+def test_pair_batch_default_unchanged():
+    from mvreg.data.batching import synthetic_pair_batch
+
+    a = synthetic_pair_batch(3, 2, points_per_fragment=256)
+    b = synthetic_pair_batch(3, 2, points_per_fragment=256,
+                             shift_range=(0.5, 0.5), negative_fraction=0.0)
+    np.testing.assert_array_equal(a.points, b.points)
