@@ -77,7 +77,10 @@ class SyncConfig:
     cauchy_b: float = 0.5
     confidence_threshold: float = 0.3  # prune edges below
     trans_scale: float = 1.0
-    refine_iters: int = 1  # pairwise<->sync refinement rounds (C8)
+    # pairwise<->sync refinement rounds (C8). 2 is the measured winner of
+    # the on-chip sweep (runs/results/mv_sweep_*.json: rot@5deg 0.607 and
+    # median 4.2deg at (cauchy_b=0.5, refine_iters=2) vs 0.393/6.2 at 1).
+    refine_iters: int = 2
 
 
 @dataclass(frozen=True)
