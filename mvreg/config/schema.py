@@ -38,7 +38,10 @@ class ModelConfig:
     descriptor_dim: int = 32
     compute_dtype: str = "float32"  # "bfloat16" for the fast MXU path
     remat: bool = False  # rematerialize UNet blocks in training
-    conv_impl: str = "fused"  # sparse_conv schedule: fused|taps|einsum
+    # sparse_conv schedule: fused|taps|einsum|dense|auto ("auto" picks
+    # dense on accelerators with small grids, else fused — see
+    # models/fcgf.py::resolve_conv_impl for the measured rule)
+    conv_impl: str = "fused"
     pointnet_k: int = 32
     pointnet_radius: float = 0.3
 

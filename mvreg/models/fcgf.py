@@ -57,10 +57,38 @@ class UNetPlan(NamedTuple):
     grids: tuple[Any, ...]
 
 
+def resolve_conv_impl(model_cfg, voxel_cfg, backend: str | None = None) -> str:
+    """Concrete conv schedule for ``model.conv_impl="auto"``.
+
+    The fused/taps gather-GEMM schedules and the dense-grid schedule are
+    math-identical on the same voxel set (shared checkpoints), so the
+    choice is purely a per-config performance call. Measured on TPU v5e
+    (runs/results/descriptor_ab_scan*.json): dense wins ~2x at eval
+    scale (5 cm voxels, 64^3 grid, ~3% occupancy) and loses at bench
+    scale (2.5 cm, 112^3, ~0.4% occupancy); on CPU dense is ~50x slower
+    than the gather schedules at any scale. Rule: accelerator backend
+    AND a small dense grid (<= ~80^3 cells) -> dense, else fused.
+    (`dense_grid` must cover the fragment extent for dense to be exact;
+    in_extent() masks out-of-grid voxels otherwise.)
+    """
+    ci = model_cfg.conv_impl
+    if ci != "auto":
+        return ci
+    if backend is None:
+        backend = jax.default_backend()
+    cells = 1
+    for g in voxel_cfg.dense_grid:
+        cells *= int(g)
+    if backend != "cpu" and cells <= 600_000:
+        return "dense"
+    return "fused"
+
+
 def plan_lookup(model_cfg, voxel_cfg) -> str:
     """Neighbor-lookup backend implied by the configured conv schedule:
     the dense-grid schedule needs no kernel/pool maps at all."""
-    return "dense" if model_cfg.conv_impl == "dense" else voxel_cfg.lookup
+    impl = resolve_conv_impl(model_cfg, voxel_cfg)
+    return "dense" if impl == "dense" else voxel_cfg.lookup
 
 
 def build_unet_plan(

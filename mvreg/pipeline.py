@@ -21,7 +21,12 @@ from mvreg.config.schema import PipelineConfig
 from mvreg.core.metrics import transformation_residuals
 from mvreg.core.transforms import relative as tf_relative
 from mvreg.core.procrustes import irls_kabsch, kabsch
-from mvreg.models.fcgf import FCGF, build_unet_plan, plan_lookup
+from mvreg.models.fcgf import (
+    FCGF,
+    build_unet_plan,
+    plan_lookup,
+    resolve_conv_impl,
+)
 from mvreg.models.filtering import ConfidenceNet, FilteringNet, edge_statistics
 from mvreg.ops.knn import mutual_match, nn_match, soft_match
 from mvreg.sync.irls import SyncResult, synchronize
@@ -74,7 +79,8 @@ def make_models(cfg: PipelineConfig):
         fcgf = FCGF(
             channels=cfg.model.channels, out_dim=cfg.model.descriptor_dim,
             compute_dtype=cfg.model.compute_dtype, remat=cfg.model.remat,
-            conv_impl=cfg.model.conv_impl, dense_grid=cfg.voxel.dense_grid,
+            conv_impl=resolve_conv_impl(cfg.model, cfg.voxel),
+            dense_grid=cfg.voxel.dense_grid,
         )
     fnet = FilteringNet(
         channels=cfg.filter.channels,

@@ -99,3 +99,41 @@ def test_fcgf_translation_invariance():
         np.asarray(out2[0])[o2][m1[o1]],
         atol=1e-4,
     )
+
+
+def test_resolve_conv_impl_auto():
+    """'auto' picks dense only on accelerators with small grids and
+    passes explicit choices through untouched (models/fcgf.py)."""
+    from mvreg.config.schema import PipelineConfig, override
+    from mvreg.models.fcgf import plan_lookup, resolve_conv_impl
+
+    cfg = override(PipelineConfig(), **{"model.conv_impl": "auto",
+                                        "voxel.dense_grid": (64, 64, 64)})
+    assert resolve_conv_impl(cfg.model, cfg.voxel, backend="tpu") == "dense"
+    assert resolve_conv_impl(cfg.model, cfg.voxel, backend="cpu") == "fused"
+    big = override(cfg, **{"voxel.dense_grid": (112, 112, 112)})
+    assert resolve_conv_impl(big.model, big.voxel, backend="tpu") == "fused"
+    for explicit in ("fused", "taps", "einsum", "dense"):
+        e = override(cfg, **{"model.conv_impl": explicit})
+        assert resolve_conv_impl(e.model, e.voxel, backend="tpu") == explicit
+    # plan_lookup agrees with the resolved schedule (on CPU under pytest
+    # auto resolves to fused -> the sparse lookup backend)
+    assert plan_lookup(cfg.model, cfg.voxel) == cfg.voxel.lookup
+
+
+def test_pipeline_auto_conv_impl_end_to_end():
+    """The pipeline builds and runs with model.conv_impl='auto'."""
+    from mvreg.config.schema import PipelineConfig, override
+    from mvreg.pipeline import extract_descriptors, init_params
+
+    cfg = override(PipelineConfig(), **{
+        "model.conv_impl": "auto",
+        "voxel.capacities": (256, 128, 64, 32),
+        "voxel.voxel_size": 0.1,
+        "model.channels": (4, 8, 8, 8),
+        "match.num_corr": 64,
+    })
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    pts = jax.random.uniform(jax.random.PRNGKey(1), (2, 400, 3))
+    desc = extract_descriptors(params, cfg, pts, jnp.ones((2, 400), bool))
+    assert np.isfinite(np.asarray(desc.feats)).all()
