@@ -41,7 +41,7 @@ class ModelConfig:
     # sparse_conv schedule: fused|taps|einsum|dense|auto ("auto" picks
     # dense on accelerators with small grids, else fused — see
     # models/fcgf.py::resolve_conv_impl for the measured rule)
-    conv_impl: str = "fused"
+    conv_impl: str = "fused"  # fused|taps|einsum|dense|pallas|auto
     pointnet_k: int = 32
     pointnet_radius: float = 0.3
 

@@ -258,7 +258,7 @@ class FCGF(nn.Module):
     out_dim: int = 32
     compute_dtype: str = "float32"
     remat: bool = False  # rematerialize ResBlocks (memory for FLOPs)
-    conv_impl: str = "fused"  # schedule: fused|taps|einsum|dense
+    conv_impl: str = "fused"  # schedule: fused|taps|einsum|dense|pallas
     dense_grid: tuple[int, int, int] = (96, 96, 96)  # conv_impl="dense"
 
     @nn.compact

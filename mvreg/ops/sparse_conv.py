@@ -49,9 +49,19 @@ def sparse_conv(
       "taps"   fori over K: out += feats[kmap[k]] @ W[k] — no relayout,
                K smaller GEMMs, peak memory V·C.
       "einsum" single kvc,kco->vo contraction — XLA picks the layout.
+      "pallas" fused-gather Pallas kernel (ops/pallas/sparse_conv_gather):
+               feature table VMEM-resident, per-tap Mosaic dynamic_gather
+               + MXU GEMM, no K-expanded intermediate in HBM.
     """
     K, V = kmap.shape
     Cin = feats.shape[-1]
+    if impl == "pallas":
+        from mvreg.ops.pallas.sparse_conv_gather import sparse_conv_pallas
+
+        return sparse_conv_pallas(
+            feats, kmap, weights, out_mask,
+            interpret=jax.default_backend() == "cpu",
+        )
     if impl == "taps":
         def tap(k, acc):
             idx = kmap[k]

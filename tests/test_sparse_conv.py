@@ -142,8 +142,44 @@ def test_impl_variants_agree():
     W = jnp.asarray(rng.normal(size=(K, Cin, Cout)) * 0.1, jnp.float32)
     mask = jnp.asarray(rng.random(V) < 0.9)
     ref = sparse_conv(feats, kmap, W, mask, impl="fused")
-    for impl in ("taps", "einsum"):
+    for impl in ("taps", "einsum", "pallas"):
         out = sparse_conv(feats, kmap, W, mask, impl=impl)
         np.testing.assert_allclose(
             np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-5
         )
+
+
+def test_pallas_gather_conv_vmap_and_dense_oracle():
+    """The fused-gather Pallas schedule matches the dense-conv oracle and
+    batches correctly under vmap (interpret mode on CPU)."""
+    key = jax.random.PRNGKey(7)
+    grid = _random_sparse_grid(key)
+    V = grid.keys.shape[0]
+    Cin, Cout, ks = 4, 6, 3
+    feats = jax.random.normal(jax.random.PRNGKey(8), (V, Cin))
+    feats = feats * grid.mask[:, None]
+    kmap = vx.kernel_map(grid.keys, grid.mask, vx.neighbor_offsets(ks))
+    W = jax.random.normal(jax.random.PRNGKey(9), (ks**3, Cin, Cout)) * 0.1
+
+    out = sparse_conv(feats, kmap, W, grid.mask, impl="pallas")
+    out_ref = dense_conv_reference(
+        grid.coords, grid.mask, feats, W.reshape(ks, ks, ks, Cin, Cout), ks,
+        (16, 16, 16),
+    )
+    np.testing.assert_allclose(
+        np.asarray(out[grid.mask]), np.asarray(out_ref[grid.mask]), atol=1e-4
+    )
+
+    batched = jax.vmap(
+        lambda f, k, m: sparse_conv(f, k, W, m, impl="pallas")
+    )(
+        jnp.stack([feats, feats * 2]),
+        jnp.stack([kmap, kmap]),
+        jnp.stack([grid.mask, grid.mask]),
+    )
+    np.testing.assert_allclose(
+        np.asarray(batched[0]), np.asarray(out), atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(batched[1]), np.asarray(out) * 2, atol=1e-5
+    )
