@@ -53,6 +53,10 @@ def build():
     import jax
     import jax.numpy as jnp
 
+    from mvreg.utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()
+
     from mvreg.config.schema import PipelineConfig, override
     from mvreg.data.synthetic import make_pair
     from mvreg.pipeline import (

@@ -84,6 +84,9 @@ class Registrar:
         params: RegistrationParams | None = None,
         use_filter: bool | None = None,
     ):
+        from mvreg.utils.compile_cache import enable_compile_cache
+
+        enable_compile_cache()
         self.cfg = cfg or PipelineConfig()
         self.params = params or init_params(
             jax.random.PRNGKey(0), self.cfg

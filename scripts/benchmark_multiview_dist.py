@@ -176,6 +176,9 @@ def worker(args) -> None:
 
 
 def main() -> None:
+    from mvreg.utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()
     ap = argparse.ArgumentParser()
     ap.add_argument("--processes", type=int, default=2)
     ap.add_argument("--devices-per-process", type=int, default=4)

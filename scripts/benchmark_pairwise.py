@@ -37,6 +37,9 @@ def _force_cpu() -> None:
 
 
 def main() -> None:
+    from mvreg.utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()
     ap = argparse.ArgumentParser()
     ap.add_argument("--cpu", action="store_true",
                     help="run on the CPU backend")

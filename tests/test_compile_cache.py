@@ -1,0 +1,23 @@
+import os
+
+import jax
+
+from mvreg.utils.compile_cache import enable_compile_cache
+
+
+def test_enable_compile_cache(tmp_path, monkeypatch):
+    monkeypatch.delenv("MVREG_COMPILE_CACHE", raising=False)
+    d = str(tmp_path / "xla")
+    got = enable_compile_cache(d)
+    assert got == d
+    assert os.path.isdir(d)
+    assert jax.config.jax_compilation_cache_dir == d
+    # idempotent
+    assert enable_compile_cache(d) == d
+    # don't leave the suite's later compiles pointed at tmp_path
+    jax.config.update("jax_compilation_cache_dir", None)
+
+
+def test_compile_cache_opt_out(monkeypatch):
+    monkeypatch.setenv("MVREG_COMPILE_CACHE", "0")
+    assert enable_compile_cache() is None
