@@ -26,7 +26,9 @@ CPU_CACHE = os.path.join(REPO, "BENCH_CPU_BASELINE.json")
 # Benchmark scale: realistic 3DMatch-like fragments (SURVEY.md §5.7:
 # ~10^5 points -> ~10^4 voxels at 2.5 cm).
 POINTS = 16384
-BATCH_PAIRS = 4  # 8 fragments per step
+# 8 fragments per step by default; MVREG_BENCH_PAIRS A/Bs the batch
+# scale (the CPU-baseline cache is invalidated on scale mismatch).
+BATCH_PAIRS = int(os.environ.get("MVREG_BENCH_PAIRS", "4"))
 SCAN_ITERS = 5  # chained steps per dispatch (steady-state protocol)
 CFG_OVERRIDES = {
     "voxel.capacities": [8192, 4096, 2048, 1024],
@@ -153,10 +155,19 @@ def measure(reps: int, warmup: int = 1) -> tuple[float, float]:
 
 
 def cpu_baseline() -> float:
-    """CPU fragments/s for the identical program (cached)."""
+    """CPU fragments/s for the identical program (cached per scale)."""
+    cached = {}
     if os.path.exists(CPU_CACHE):
         with open(CPU_CACHE) as fh:
-            return json.load(fh)["fragments_per_s"]
+            cached = json.load(fh)
+    key = f"{POINTS}x{BATCH_PAIRS}"
+    # Legacy single-entry format ({"fragments_per_s": ..., "points": ...,
+    # "batch_pairs": ...}) maps onto its own scale key.
+    if "fragments_per_s" in cached:
+        legacy_key = f"{cached.get('points')}x{cached.get('batch_pairs')}"
+        cached = {legacy_key: cached["fragments_per_s"]}
+    if key in cached:
+        return cached[key]
     env = dict(os.environ)
     env["JAX_PLATFORM_NAME"] = "cpu"
     env["JAX_PLATFORMS"] = "cpu"
@@ -167,9 +178,9 @@ def cpu_baseline() -> float:
     )
     line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
     val = json.loads(line)["fragments_per_s"]
+    cached[key] = val
     with open(CPU_CACHE, "w") as fh:
-        json.dump({"fragments_per_s": val, "points": POINTS,
-                   "batch_pairs": BATCH_PAIRS}, fh)
+        json.dump(cached, fh)
     return val
 
 
