@@ -6,7 +6,11 @@ from mvreg.utils.compile_cache import enable_compile_cache
 
 
 def test_enable_compile_cache(tmp_path, monkeypatch):
+    import mvreg.utils.compile_cache as cc
+
     monkeypatch.delenv("MVREG_COMPILE_CACHE", raising=False)
+    monkeypatch.setattr(cc, "_enabled", False)  # suite tests may have
+    # enabled it already (Registrar does)
     d = str(tmp_path / "xla")
     got = enable_compile_cache(d)
     assert got == d
