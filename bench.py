@@ -23,6 +23,17 @@ REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
 CPU_CACHE = os.path.join(REPO, "BENCH_CPU_BASELINE.json")
 
+_T0 = time.time()
+
+
+def _mark(msg: str) -> None:
+    """Stage timestamps on stderr (stdout must stay one JSON line).
+
+    The driver kills bench.py at its timeout; these marks make any
+    timeout diagnosable from the log (round-1 BENCH rc=124 was opaque).
+    """
+    print(f"[bench +{time.time() - _T0:7.1f}s] {msg}", file=sys.stderr, flush=True)
+
 # Benchmark scale: realistic 3DMatch-like fragments (SURVEY.md §5.7:
 # ~10^5 points -> ~10^4 voxels at 2.5 cm).
 POINTS = 16384
@@ -43,9 +54,11 @@ CFG_OVERRIDES = {
     "filter.blocks_after": 2,
     "model.compute_dtype": "bfloat16",  # MXU fast path (f32 CPU baseline
     # kept: each backend runs its best practical precision)
-    # Conv schedule A/B hook: MVREG_CONV_IMPL=dense runs the UNet on a
-    # static dense grid (no kernel maps); default stays the measured
-    # winner for this hardware.
+    # Conv schedule A/B hook: MVREG_CONV_IMPL overrides. Default stays
+    # "fused": it reliably compiles in ~170 s through the remote-compile
+    # relay; "taps" measured 12% faster steady-state in round 1 but its
+    # 27-way-unrolled HLO has blown the compile budget (>1000 s) on at
+    # least one run — the official bench must never risk the timeout.
     "model.conv_impl": os.environ.get("MVREG_CONV_IMPL", "fused"),
     "voxel.dense_grid": [112, 112, 112],
 }
@@ -106,6 +119,7 @@ def build():
 
     f1 = jax.jit(lambda p, x, m: chained(p, x, m, 1))
     fS = jax.jit(lambda p, x, m: chained(p, x, m, SCAN_ITERS))
+    _mark("build done (params + data ready)")
     return f1, fS, (params, points, mask)
 
 
@@ -122,12 +136,31 @@ def _sync(out):
     np.asarray(out[0])
 
 
-def measure(reps: int, warmup: int = 1) -> tuple[float, float]:
-    """(steady_state, e2e) fragments/s of the pipeline on this backend.
+def _program_flops(jitted, *args) -> float | None:
+    """Total FLOPs of one compiled dispatch via XLA cost analysis.
+
+    Returns None when the backend's cost model is unavailable (e.g. some
+    PJRT plugins); callers must treat MFU as best-effort diagnostics.
+    """
+    try:
+        ca = jitted.lower(*args).compile().cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        f = float(ca.get("flops", 0.0))
+        return f if f > 0 else None
+    except Exception:
+        return None
+
+
+def measure(
+    reps: int, warmup: int = 1
+) -> tuple[float, float, float | None]:
+    """(steady_state, e2e, step_flops) of the pipeline on this backend.
 
     steady_state: marginal per-step time inside a chained scan — device
     throughput, free of the per-dispatch host/relay round trip.
     e2e: single dispatch incl. that round trip (the dev-relay floor).
+    step_flops: XLA-counted FLOPs of one pipeline step (for MFU).
     Defensive timing: distinct inputs per rep (defeats any memoization),
     per-rep readback barrier, two passes averaged (slower pass wins if
     they disagree by >2x).
@@ -136,7 +169,9 @@ def measure(reps: int, warmup: int = 1) -> tuple[float, float]:
     variants = [points + 1e-4 * k for k in range(max(reps, warmup))]
     for k in range(warmup):
         _sync(f1(params, variants[k], mask))
+        _mark("f1 warmup done (compile + first dispatch)")
         _sync(fS(params, variants[k], mask))
+        _mark("fS warmup done")
 
     def one_pass(f):
         t0 = time.perf_counter()
@@ -149,9 +184,12 @@ def measure(reps: int, warmup: int = 1) -> tuple[float, float]:
         return max(dts) if max(dts) > 2 * min(dts) else sum(dts) / 2
 
     dt1, dtS = robust(f1), robust(fS)
+    _mark("timed passes done")
+    flops = _program_flops(f1, params, points, mask)
+    _mark(f"cost analysis done (step flops: {flops})")
     marginal = max((dtS - dt1) / (SCAN_ITERS - 1), 1e-9)
     frags = BATCH_PAIRS * 2
-    return frags / marginal, frags / dt1
+    return frags / marginal, frags / dt1, flops
 
 
 def cpu_baseline() -> float:
@@ -189,18 +227,27 @@ def main():
         import jax
 
         jax.config.update("jax_platform_name", "cpu")
-        val, _ = measure(reps=1, warmup=1)
+        val, _, _ = measure(reps=1, warmup=1)
         print(json.dumps({"fragments_per_s": val}))
         return
 
     import jax
 
-    frag_s, frag_s_e2e = measure(reps=3, warmup=1)
+    _mark(f"start (backend={jax.default_backend()}, pairs={BATCH_PAIRS})")
+    frag_s, frag_s_e2e, step_flops = measure(reps=3, warmup=1)
     try:
         base = cpu_baseline()
+        _mark("cpu baseline ready")
         vs = frag_s / base if base > 0 else float("nan")
     except Exception:
         vs = float("nan")
+    # MFU: XLA-counted FLOPs of one step / marginal step time / chip peak
+    # (TPU v5e bf16 matmul peak 197 TFLOP/s; override for other chips).
+    peak = float(os.environ.get("MVREG_PEAK_FLOPS", 197e12))
+    mfu = None
+    if step_flops:
+        step_time = (BATCH_PAIRS * 2) / frag_s  # s per step (marginal)
+        mfu = round(step_flops / step_time / peak, 5)
     print(
         json.dumps(
             {
@@ -209,6 +256,8 @@ def main():
                 "unit": "fragments/s",
                 "vs_baseline": round(vs, 2) if vs == vs else None,
                 "e2e_fragments_per_s": round(frag_s_e2e, 3),
+                "mfu": mfu,
+                "step_gflops": round(step_flops / 1e9, 2) if step_flops else None,
             }
         )
     )

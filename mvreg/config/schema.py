@@ -102,6 +102,10 @@ class TrainConfig:
     shift_min: float = 0.5
     shift_max: float = 0.5
     negative_fraction: float = 0.0
+    # Sync stage: backprop into the descriptor through differentiable
+    # soft-argmax matching (the reference trains end-to-end through SVD
+    # and eigh — SURVEY.md §0; hard NN matching blocks those gradients).
+    sync_train_descriptor: bool = False
 
 
 @dataclass(frozen=True)

@@ -32,25 +32,64 @@ Array = jax.Array
 
 
 def pose_difference_xi(T_est: np.ndarray, T_gt: np.ndarray) -> np.ndarray:
-    """Redwood 6-DoF difference ξ = [Δt ; 2·q_vec(ΔR)] of T_gt⁻¹ T_est."""
+    """Redwood 6-DoF difference ξ = [Δt ; q_vec(ΔR)] of T_gt⁻¹ T_est.
+
+    Exactly the official evaluation's parameterization (Redwood
+    `mrComputeTransformationError`: ``er = [te; -qt(2:4)]`` — the
+    quaternion vector part WITHOUT a factor of 2; the small-angle
+    factor 2 of δR·p ≈ p + 2·δq×p lives inside the info matrix, see
+    info_matrix_from_points). The sign of q_vec is irrelevant under the
+    quadratic form.
+    """
     delta = np.linalg.inv(T_gt) @ T_est
     dt = delta[:3, 3]
     q = np.asarray(tf.rotmat_to_quat(jnp.asarray(delta[:3, :3])))
-    return np.concatenate([dt, 2.0 * q[1:]])
+    return np.concatenate([dt, q[1:]])
 
 
 def pair_rmse(
     T_est: np.ndarray, T_gt: np.ndarray, info: np.ndarray
 ) -> float:
-    """Redwood protocol RMSE (meters) for one pair."""
+    """Redwood protocol RMSE (meters) for one pair.
+
+    RMSE² = ξᵀ·Info·ξ / Info[0,0]. The official divisor is the (0,0)
+    entry: Info = Σ_p AᵀA with A = [I₃ | −2·skew(p)], so Info[0,0] is
+    the overlap correspondence count n and the quotient is the mean
+    squared point displacement over the GT-overlap set.
+    """
     xi = pose_difference_xi(T_est, T_gt)
-    n = max(info[0, 0], 1e-9)  # info = n * Cov⁻¹-ish; diag[0] carries n
+    n = max(info[0, 0], 1e-9)
     return float(np.sqrt(xi @ info @ xi / n))
 
 
 def default_info(n: float = 1.0) -> np.ndarray:
     """Fallback info matrix (identity scaled): plain RMSE on ξ."""
     return np.eye(6) * n
+
+
+def info_matrix_from_points(points: np.ndarray) -> np.ndarray:
+    """Official Redwood gt.info matrix for an overlap point set (n, 3).
+
+    Info = Σ_p AᵀA, A = [I₃ | −2·skew(p)] — the Jacobian of the point
+    displacement Δp = Δt + 2·δq×p w.r.t. ξ = [t ; q_vec]. Used to write
+    protocol-faithful synthetic gt.info stand-ins; matches what the
+    reference's benchmark consumes from the published 3DMatch files.
+    """
+    p = np.asarray(points, np.float64)
+    n = p.shape[0]
+    x, y, z = p[:, 0], p[:, 1], p[:, 2]
+    zeros = np.zeros(n)
+    ones = np.ones(n)
+    # A rows stacked per point: (n, 3, 6)
+    A = np.stack(
+        [
+            np.stack([ones, zeros, zeros, zeros, 2 * z, -2 * y], -1),
+            np.stack([zeros, ones, zeros, -2 * z, zeros, 2 * x], -1),
+            np.stack([zeros, zeros, ones, 2 * y, -2 * x, zeros], -1),
+        ],
+        axis=1,
+    )
+    return np.einsum("nij,nik->jk", A, A)
 
 
 class PairwiseSceneResult(NamedTuple):

@@ -63,11 +63,15 @@ def resolve_conv_impl(model_cfg, voxel_cfg, backend: str | None = None) -> str:
     The fused/taps gather-GEMM schedules and the dense-grid schedule are
     math-identical on the same voxel set (shared checkpoints), so the
     choice is purely a per-config performance call. Measured on TPU v5e
-    (runs/results/descriptor_ab_scan*.json): dense wins ~2x at eval
-    scale (5 cm voxels, 64^3 grid, ~3% occupancy) and loses at bench
-    scale (2.5 cm, 112^3, ~0.4% occupancy); on CPU dense is ~50x slower
-    than the gather schedules at any scale. Rule: accelerator backend
-    AND a small dense grid (<= ~80^3 cells) -> dense, else fused.
+    (runs/results/descriptor_ab_scan*.json, bench_{fused,taps}_full.log):
+    dense wins ~2x at eval scale (5 cm voxels, 64^3 grid, ~3% occupancy)
+    and loses at bench scale (2.5 cm, 112^3, ~0.4% occupancy); at bench
+    scale taps beats fused on the full pipeline (44.5 vs 39.7 fr/s — the
+    fused (K,V,C)->(V,K*C) relayout is pure HBM traffic); on CPU the
+    dense schedule is ~50x slower than the gather schedules at any
+    scale, and fused beats taps (one big GEMM amortizes better there).
+    Rule: accelerator + small dense grid (<= ~80^3 cells) -> dense;
+    accelerator + big grid -> taps; CPU -> fused.
     (`dense_grid` must cover the fragment extent for dense to be exact;
     in_extent() masks out-of-grid voxels otherwise.)
     """
@@ -79,9 +83,11 @@ def resolve_conv_impl(model_cfg, voxel_cfg, backend: str | None = None) -> str:
     cells = 1
     for g in voxel_cfg.dense_grid:
         cells *= int(g)
-    if backend != "cpu" and cells <= 600_000:
+    if backend == "cpu":
+        return "fused"
+    if cells <= 600_000:
         return "dense"
-    return "fused"
+    return "taps"
 
 
 def plan_lookup(model_cfg, voxel_cfg) -> str:

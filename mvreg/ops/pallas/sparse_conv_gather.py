@@ -31,9 +31,13 @@ from jax.experimental.pallas import tpu as pltpu
 Array = jax.Array
 
 
-def _conv_kernel(kmap_ref, feats_ref, w_ref, out_ref):
+def _conv_kernel(kmap_ref, feats_ref, w_ref, out_ref, *, accum_dtype):
+    # The whole (K, V) kmap stays VMEM-resident (block == full array, so
+    # Mosaic's (8, 128) tiling rule is satisfied; a (1, V) row block is
+    # not lowerable — its sublane dim is neither 8-aligned nor full) and
+    # row k is sliced here instead of via the BlockSpec index map.
     k = pl.program_id(0)
-    idx = kmap_ref[0, :]  # (V,) int32, -1 = invalid
+    idx = kmap_ref[k, :]  # (V,) int32, -1 = invalid
     valid = idx >= 0
     feats = feats_ref[:]  # (V, Cin), resident across the K sweep
     idxm = jnp.broadcast_to(
@@ -41,7 +45,7 @@ def _conv_kernel(kmap_ref, feats_ref, w_ref, out_ref):
     )  # (V, Cin)
     g = jnp.take_along_axis(feats, idxm, axis=0, mode="promise_in_bounds")
     g = jnp.where(valid[:, None], g, jnp.zeros_like(g))
-    part = jnp.dot(g, w_ref[0], preferred_element_type=jnp.float32)
+    part = jnp.dot(g, w_ref[0], preferred_element_type=accum_dtype)
 
     @pl.when(k == 0)
     def _():
@@ -52,13 +56,14 @@ def _conv_kernel(kmap_ref, feats_ref, w_ref, out_ref):
         out_ref[:] = out_ref[:] + part
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit, static_argnames=("interpret", "accum_dtype"))
 def sparse_conv_pallas(
     feats: Array,
     kmap: Array,
     weights: Array,
     out_mask: Array,
     interpret: bool = False,
+    accum_dtype=jnp.float32,
 ) -> Array:
     """Fused-gather sparse conv: feats (V, Cin), kmap (K, V),
     weights (K, Cin, Cout) -> (V, Cout).
@@ -70,10 +75,10 @@ def sparse_conv_pallas(
     Cin = feats.shape[-1]
     Cout = weights.shape[-1]
     out = pl.pallas_call(
-        _conv_kernel,
+        functools.partial(_conv_kernel, accum_dtype=accum_dtype),
         grid=(K,),
         in_specs=[
-            pl.BlockSpec((1, V), lambda k: (k, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((K, V), lambda k: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((V, Cin), lambda k: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(
                 (1, Cin, Cout), lambda k: (k, 0, 0), memory_space=pltpu.VMEM
@@ -82,7 +87,7 @@ def sparse_conv_pallas(
         out_specs=pl.BlockSpec(
             (V, Cout), lambda k: (0, 0), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((V, Cout), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((V, Cout), accum_dtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
         ),

@@ -61,6 +61,7 @@ def sparse_conv(
         return sparse_conv_pallas(
             feats, kmap, weights, out_mask,
             interpret=jax.default_backend() == "cpu",
+            accum_dtype=accum_dtype,
         )
     if impl == "taps":
         def tap(k, acc):

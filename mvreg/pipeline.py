@@ -306,50 +306,62 @@ def all_pairs(n: int) -> Array:
     )
 
 
-def register_scene(
+def register_edges(
     params: RegistrationParams,
     cfg: PipelineConfig,
-    points: Array,
-    mask: Array,
+    desc: Descriptors,
+    edge_idx: Array,
     use_filter: bool = True,
-) -> SceneResult:
-    """Full multiview registration of one scene (N, P, 3) -> absolute poses.
+) -> PairResult:
+    """Pairwise registration of a batch of edges (E, 2) -> PairResult[E].
 
-    One jittable program: descriptors for all fragments, vmapped pairwise
-    registration over all C(N,2) edges, confidence-pruned IRLS sync
-    (SURVEY.md §3.3, C8).
+    Chunked vmap: batches the per-edge matching/filtering GEMMs into
+    MXU-sized contractions without materializing all E distance blocks.
+    Split out of register_scene so eval harnesses can run edge chunks as
+    small reusable programs (one monolithic 435-edge program's compile
+    blew the round-1 mv30 eval timeout) and so the distributed path can
+    shard the edge axis.
     """
-    N = points.shape[0]
-    desc = extract_descriptors(params, cfg, points, mask)
-    edge_idx = all_pairs(N)
 
     def one_edge(e):
         di = jax.tree_util.tree_map(lambda a: a[e[0]], desc)
         dj = jax.tree_util.tree_map(lambda a: a[e[1]], desc)
         return register_pair(params, cfg, di, dj, use_filter=use_filter)
 
-    # Chunked vmap: batches the per-edge matching/filtering GEMMs into
-    # MXU-sized contractions without materializing all E distance blocks.
     E = edge_idx.shape[0]
-    pairs = jax.lax.map(
+    return jax.lax.map(
         one_edge, edge_idx, batch_size=min(cfg.match.edge_batch, E)
     )
 
+
+def initial_edge_weights(cfg: PipelineConfig, pairs: PairResult) -> Array:
+    """Sync-input edge weights from the confidence head (threshold-pruned,
+    with a fallback to raw confidences if pruning empties the graph)."""
     c_init = pairs.confidence * (
         pairs.confidence >= cfg.sync.confidence_threshold
     )
-    # Guard: if pruning empties the graph, fall back to raw confidences.
-    c_init = jnp.where(jnp.sum(c_init) > 1e-6, c_init, pairs.confidence)
+    return jnp.where(jnp.sum(c_init) > 1e-6, c_init, pairs.confidence)
+
+
+def sync_with_refine(
+    cfg: PipelineConfig,
+    edge_idx: Array,
+    pairs: PairResult,
+    n_nodes: int,
+) -> tuple[PairResult, SyncResult]:
+    """Confidence-pruned IRLS sync + pairwise<->sync refinement (C7+C8).
+
+    Per refine iteration (SURVEY.md C8, paper §3.3): re-weight each
+    edge's correspondences by their residual under the *synced* relative
+    pose, re-solve Procrustes, re-synchronize. Fixed iteration count
+    keeps it one static program.
+    """
+    c_init = initial_edge_weights(cfg, pairs)
     sync = synchronize(
-        edge_idx, pairs.R, pairs.t, c_init, n_nodes=N,
+        edge_idx, pairs.R, pairs.t, c_init, n_nodes=n_nodes,
         num_iters=cfg.sync.num_iters, cauchy_b=cfg.sync.cauchy_b,
         trans_scale=cfg.sync.trans_scale,
     )
-
-    # Pairwise <-> sync refinement (SURVEY.md C8, paper §3.3): re-weight
-    # each edge's correspondences by their residual under the *synced*
-    # relative pose, re-solve Procrustes, re-synchronize. Fixed iteration
-    # count keeps it one static program.
     for _ in range(cfg.sync.refine_iters):
         i, j = edge_idx[:, 0], edge_idx[:, 1]
         R_se, t_se = tf_relative(
@@ -369,7 +381,30 @@ def register_scene(
         pairs = pairs._replace(R=R2, t=t2)
         sync = synchronize(
             edge_idx, pairs.R, pairs.t, jnp.maximum(sync.weights, 1e-3 * c_init),
-            n_nodes=N, num_iters=cfg.sync.num_iters,
+            n_nodes=n_nodes, num_iters=cfg.sync.num_iters,
             cauchy_b=cfg.sync.cauchy_b, trans_scale=cfg.sync.trans_scale,
         )
+    return pairs, sync
+
+
+def register_scene(
+    params: RegistrationParams,
+    cfg: PipelineConfig,
+    points: Array,
+    mask: Array,
+    use_filter: bool = True,
+) -> SceneResult:
+    """Full multiview registration of one scene (N, P, 3) -> absolute poses.
+
+    One jittable program: descriptors for all fragments, vmapped pairwise
+    registration over all C(N,2) edges, confidence-pruned IRLS sync
+    (SURVEY.md §3.3, C8). Eval harnesses with big scenes should prefer
+    running the stages (extract_descriptors / register_edges /
+    sync_with_refine) as separate programs to bound compile time.
+    """
+    N = points.shape[0]
+    desc = extract_descriptors(params, cfg, points, mask)
+    edge_idx = all_pairs(N)
+    pairs = register_edges(params, cfg, desc, edge_idx, use_filter=use_filter)
+    pairs, sync = sync_with_refine(cfg, edge_idx, pairs, n_nodes=N)
     return SceneResult(edge_idx=edge_idx, pairs=pairs, sync=sync)

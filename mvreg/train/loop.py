@@ -250,6 +250,7 @@ def sync_loss_fn(
     training, SURVEY.md §0 / §7 hard-part 3).
     """
     from mvreg.core.transforms import relative as tf_relative
+    from mvreg.ops.knn import soft_match
     from mvreg.pipeline import all_pairs
     from mvreg.sync.irls import synchronize
 
@@ -257,10 +258,14 @@ def sync_loss_fn(
     flat_pts = batch.points.reshape(B * N, P, 3)
     flat_mask = batch.mask.reshape(B * N, P)
 
-    # Descriptors stay frozen in this stage (NN matching is not
-    # differentiable anyway; the reference stages training the same way).
+    # With sync_train_descriptor, gradients reach the descriptor UNet
+    # through soft-argmax matching (the reference's end-to-end protocol,
+    # SURVEY.md §0); otherwise the descriptor stays frozen and matching
+    # is hard mutual-NN (non-differentiable, like the staged protocol).
+    e2e = cfg.train.sync_train_descriptor
+    desc_params = params if e2e else jax.lax.stop_gradient(params)
     desc, new_fcgf_stats = _descriptors_train(
-        jax.lax.stop_gradient(params), stats, cfg, flat_pts, flat_mask
+        desc_params, stats, cfg, flat_pts, flat_mask
     )
     d = jax.tree_util.tree_map(
         lambda a: a.reshape(B, N, *a.shape[1:]), desc
@@ -275,9 +280,16 @@ def sync_loss_fn(
             di = jax.tree_util.tree_map(lambda a: a[e[0]], d_scene)
             dj = jax.tree_util.tree_map(lambda a: a[e[1]], d_scene)
             fd, fc, fm = select_keypoints(di.feats, di.centers, di.mask, K)
-            idx, _, mut = mutual_match(fd, fm, dj.feats, dj.mask)
-            y = dj.centers[idx]
-            cm = fm & mut
+            if e2e:
+                y = soft_match(
+                    fd, fm, dj.feats, dj.mask, dj.centers,
+                    cfg.match.soft_temperature,
+                )
+                cm = fm
+            else:
+                idx, _, mut = mutual_match(fd, fm, dj.feats, dj.mask)
+                y = dj.centers[idx]
+                cm = fm & mut
             return fc * cm[:, None], y * cm[:, None], cm
 
         return jax.vmap(edge_corr)(edge_idx)

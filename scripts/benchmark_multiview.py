@@ -57,6 +57,8 @@ def main() -> None:
         _force_cpu()
     logging.basicConfig(level=logging.INFO, format="%(message)s")
 
+    import numpy as np
+
     import jax
     import jax.numpy as jnp
 
@@ -67,7 +69,13 @@ def main() -> None:
         pooled_report,
         scene_pairwise_errors,
     )
-    from mvreg.pipeline import init_params, register_scene
+    from mvreg.pipeline import (
+        all_pairs,
+        extract_descriptors,
+        init_params,
+        register_edges,
+        sync_with_refine,
+    )
     from mvreg.train.checkpoints import CheckpointManager
     from mvreg.train.loop import registration_params
     from mvreg.train.state import create_train_state
@@ -84,11 +92,63 @@ def main() -> None:
         params = init_params(jax.random.PRNGKey(0), cfg)
         logging.info("using untrained weights (sanity/perf run)")
 
-    fn = jax.jit(
-        lambda p, x, m: register_scene(
-            p, cfg, x, m, use_filter=not args.no_filter
+    # Staged execution: three small reusable programs instead of one
+    # monolithic N-fragment scene program (whose compile blew the
+    # round-1 30-fragment eval timeout). Edge chunks re-use ONE compiled
+    # program of static shape (EDGE_CHUNK, 2) across all chunks/scenes.
+    t_start = time.perf_counter()
+
+    def mark(msg):
+        logging.info("[mv +%6.1fs] %s", time.perf_counter() - t_start, msg)
+
+    extract = jax.jit(lambda p, x, m: extract_descriptors(p, cfg, x, m))
+    EDGE_CHUNK = int(cfg.match.edge_batch)
+    edges_fn = jax.jit(
+        lambda p, d, e: register_edges(
+            p, cfg, d, e, use_filter=not args.no_filter
         )
     )
+
+    def sync_fn_for(n):
+        return jax.jit(
+            lambda e_idx, pairs: sync_with_refine(
+                cfg, e_idx, pairs, n_nodes=n
+            )
+        )
+
+    sync_fns = {}
+
+    def run_scene(scene, s):
+        N = scene.points.shape[0]
+        pts, msk = jnp.asarray(scene.points), jnp.asarray(scene.mask)
+        desc = extract(params, pts, msk)
+        np.asarray(desc.feats[0, 0])  # readback barrier (axon relay)
+        mark(f"scene {s}: descriptors for {N} fragments done")
+        edge_idx = np.asarray(all_pairs(N))
+        E = edge_idx.shape[0]
+        chunks = []
+        for k0 in range(0, E, EDGE_CHUNK):
+            chunk = edge_idx[k0 : k0 + EDGE_CHUNK]
+            pad = EDGE_CHUNK - len(chunk)
+            if pad:
+                chunk = np.concatenate([chunk, np.zeros((pad, 2), np.int32)])
+            out = edges_fn(params, desc, jnp.asarray(chunk))
+            chunks.append(
+                jax.tree_util.tree_map(
+                    lambda a: a[: EDGE_CHUNK - pad], out
+                )
+            )
+        pairs = jax.tree_util.tree_map(
+            lambda *xs: jnp.concatenate(xs, axis=0), *chunks
+        )
+        np.asarray(pairs.confidence)
+        mark(f"scene {s}: {E} pairwise registrations done")
+        if N not in sync_fns:
+            sync_fns[N] = sync_fn_for(N)
+        pairs, sync = sync_fns[N](jnp.asarray(edge_idx), pairs)
+        np.asarray(sync.R)
+        mark(f"scene {s}: sync + {cfg.sync.refine_iters} refine done")
+        return sync
 
     if args.scene_dirs:
         from mvreg.data.scannet import load_scene
@@ -104,16 +164,33 @@ def main() -> None:
             for s in range(args.scenes)
         ]
 
+    def dump(report, partial):
+        if not args.json_out:
+            return
+        payload = {
+            "rot_ecdf": report.rot_ecdf,
+            "trans_ecdf": report.trans_ecdf,
+            "mean_rot_deg": report.mean_rot_deg,
+            "median_rot_deg": report.median_rot_deg,
+            "mean_trans_m": report.mean_trans_m,
+            "num_pairs": report.num_pairs,
+            "scenes_done": partial,
+            "scenes_total": len(scenes),
+        }
+        tmp = args.json_out + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(payload, f, indent=2)
+        os.replace(tmp, args.json_out)
+
     errors = []
     t_scene = []
     for s, scene in enumerate(scenes):
-        pts, msk = jnp.asarray(scene.points), jnp.asarray(scene.mask)
         t0 = time.perf_counter()
-        out = jax.block_until_ready(fn(params, pts, msk))
+        sync = run_scene(scene, s)
         dt = time.perf_counter() - t0
         t_scene.append(dt)
         err = scene_pairwise_errors(
-            out.sync.R, out.sync.t, scene.R_gt, scene.t_gt
+            sync.R, sync.t, scene.R_gt, scene.t_gt
         )
         errors.append(err)
         logging.info(
@@ -121,6 +198,8 @@ def main() -> None:
             s, dt, float(jnp.median(jnp.asarray(err.rot_deg))),
             100 * float(jnp.median(jnp.asarray(err.trans_m))),
         )
+        # partial results survive an external timeout kill
+        dump(pooled_report(errors), partial=s + 1)
 
     report = pooled_report(errors)
     logging.info("%s", format_report(report))
@@ -128,19 +207,7 @@ def main() -> None:
         "steady-state scene time: %.2fs (first includes compile: %.2fs)",
         min(t_scene[1:]) if len(t_scene) > 1 else t_scene[0], t_scene[0],
     )
-    if args.json_out:
-        with open(args.json_out, "w") as f:
-            json.dump(
-                {
-                    "rot_ecdf": report.rot_ecdf,
-                    "trans_ecdf": report.trans_ecdf,
-                    "mean_rot_deg": report.mean_rot_deg,
-                    "median_rot_deg": report.median_rot_deg,
-                    "mean_trans_m": report.mean_trans_m,
-                    "num_pairs": report.num_pairs,
-                },
-                f, indent=2,
-            )
+    dump(report, partial=len(scenes))
 
 
 if __name__ == "__main__":

@@ -140,10 +140,17 @@ def main() -> None:
                 args.seed + si, num_fragments=args.fragments,
                 points_per_fragment=args.points,
             )
-            # GT pairs: all non-consecutive overlapping pairs
-            from mvreg.core.transforms import relative
+            # GT pairs: all non-consecutive overlapping pairs, with
+            # protocol-faithful gt.info matrices computed from the
+            # GT-overlap point set (Redwood generation convention:
+            # Info = Σ AᵀA over overlap points in the source frame).
+            from scipy.spatial import cKDTree
 
-            gt_pairs = []
+            from mvreg.core.transforms import apply_transform, relative
+            from mvreg.data.threedmatch import GtInfo
+            from mvreg.eval.pairwise import info_matrix_from_points
+
+            gt_pairs, gt_infos = [], []
             for i in range(args.fragments):
                 for j in range(i + 1, args.fragments):
                     R, t = relative(
@@ -154,8 +161,25 @@ def main() -> None:
                         GtPair(i=i, j=j,
                                transform=np.asarray(to_matrix(R, t)))
                     )
+                    # overlap = domain-frame (i) points landing within
+                    # 5 cm of a target (j) point under the GT transform
+                    # (relative() maps frame-i coordinates into frame j,
+                    # so ξ = log(T_gt⁻¹T_est) acts on fragment-i points)
+                    src = scene.points[i][scene.mask[i]]
+                    dst = scene.points[j][scene.mask[j]]
+                    moved = np.asarray(
+                        apply_transform(R, t, jnp.asarray(src))
+                    )
+                    d, _ = cKDTree(dst).query(moved, k=1)
+                    ov = src[d < 0.05]
+                    if len(ov) >= 10:
+                        gt_infos.append(
+                            GtInfo(i=i, j=j,
+                                   info=info_matrix_from_points(ov))
+                        )
             results[f"synthetic_{si}"] = run_scene(
-                scene.points, scene.mask, gt_pairs, None, f"synthetic_{si}"
+                scene.points, scene.mask, gt_pairs, gt_infos or None,
+                f"synthetic_{si}"
             )
 
     table = aggregate_recall(results)

@@ -30,6 +30,12 @@ def main() -> None:
     ap.add_argument("--config", type=str, default=None)
     ap.add_argument("--points", type=int, default=6144)
     ap.add_argument("--seeds", type=int, nargs="*", default=[0, 100, 101])
+    ap.add_argument(
+        "--negative-seeds", type=int, nargs="*", default=[],
+        help="probe zero-overlap pairs (same world, disjoint crops) — "
+        "the junk-edge distribution of C(N,2) scene graphs; their "
+        "confidence must be LOW",
+    )
     ap.add_argument("--json-out", type=str, default=None)
     ap.add_argument("--set", action="append", default=[])
     args = ap.parse_args()
@@ -72,6 +78,21 @@ def main() -> None:
         on = register_pair(params, cfg, di, dj, use_filter=False)
         return of, on
 
+    def fit_stats(of):
+        """Host-side edge stats: self-consistency of the estimated fit."""
+        x, y = np.asarray(of.x), np.asarray(of.y)
+        cm = np.asarray(of.corr_mask).astype(bool)
+        w = np.asarray(of.weights)
+        res = np.linalg.norm(
+            x @ np.asarray(of.R).T + np.asarray(of.t) - y, axis=-1
+        )
+        return {
+            "mutual_corr": int(cm.sum()),
+            "confidence": float(of.confidence),
+            "mean_weight": float(w[cm].mean()) if cm.any() else 0.0,
+            "frac_close": float((res[cm] < 0.1).mean()) if cm.any() else 0.0,
+        }
+
     rows = []
     for seed in args.seeds:
         scene = make_pair(seed=seed, points_per_fragment=args.points)
@@ -86,7 +107,6 @@ def main() -> None:
         d = np.linalg.norm(x @ Rg.T + tg - y, axis=-1)
         row = {
             "seed": seed,
-            "mutual_corr": int(cm.sum()),
             "gt_inlier_rate": float((d[cm] < 0.1).mean()) if cm.any() else 0.0,
             "rot_err_filter": float(rotation_error_deg(of.R, jnp.asarray(Rg))),
             "trans_err_filter": float(
@@ -95,9 +115,26 @@ def main() -> None:
             "rot_err_nofilter": float(
                 rotation_error_deg(on.R, jnp.asarray(Rg))
             ),
-            "confidence": float(of.confidence),
+            **fit_stats(of),
         }
         rows.append(row)
+        print(json.dumps(row))
+
+    neg_rows = []
+    for seed in args.negative_seeds:
+        from mvreg.data.synthetic import make_scene
+
+        # disjoint crops (separation 3.4 m > 2x crop radius 1.2 m) on one
+        # shared world: zero overlap but the same floor/wall texture —
+        # the hard-negative distribution of a 30-node scene graph
+        scene = make_scene(
+            seed, num_fragments=2, points_per_fragment=args.points,
+            centers_override=np.array([[1.0, 1.0, 0.2], [3.4, 3.4, 0.2]]),
+        )
+        pts, msk = jnp.asarray(scene.points), jnp.asarray(scene.mask)
+        of, _ = probe(params, pts, msk)
+        row = {"seed": seed, "negative": True, **fit_stats(of)}
+        neg_rows.append(row)
         print(json.dumps(row))
 
     summary = {
@@ -109,6 +146,14 @@ def main() -> None:
         ),
         "rows": rows,
     }
+    if neg_rows:
+        summary["mean_positive_confidence"] = float(
+            np.mean([r["confidence"] for r in rows])
+        )
+        summary["mean_negative_confidence"] = float(
+            np.mean([r["confidence"] for r in neg_rows])
+        )
+        summary["negative_rows"] = neg_rows
     print("mean gt_inlier_rate:", summary["mean_gt_inlier_rate"])
     if args.json_out:
         with open(args.json_out, "w") as fh:

@@ -152,6 +152,29 @@ def test_sync_stage_trains_through_synchronization(cfg):
     assert losses[-1] < losses[0] * 1.5  # no blow-up under optimization
 
 
+def test_sync_stage_end_to_end_descriptor_grads(cfg):
+    """train.sync_train_descriptor=True: soft-argmax matching lets
+    gradients reach the descriptor UNet through the sync layer (the
+    reference's end-to-end protocol, SURVEY.md §0) and they are finite."""
+    from mvreg.config.schema import override
+    from mvreg.data.batching import synthetic_scene_batch
+    from mvreg.train.loop import sync_loss_fn
+
+    cfg_e2e = override(cfg, **{"train.sync_train_descriptor": True})
+    batch = synthetic_scene_batch(0, batch_size=1, num_fragments=3,
+                                  points_per_fragment=1024)
+    state = create_train_state(jax.random.PRNGKey(0), cfg_e2e)
+    grads = jax.grad(
+        lambda p: sync_loss_fn(p, state.batch_stats, cfg_e2e, batch)[0]
+    )(state.params)
+    gnorm = lambda t: float(
+        sum(jnp.sum(jnp.abs(g)) for g in jax.tree_util.tree_leaves(t))
+    )
+    assert np.isfinite(gnorm(grads["fcgf"]))
+    assert gnorm(grads["fcgf"]) > 0  # descriptor is trainable end-to-end
+    assert gnorm(grads["filter"]) > 0
+
+
 def test_checkpoint_opt_state_contract():
     """The optimizer-state pytree is part of the on-disk checkpoint
     format: changing make_optimizer's chain length breaks StandardRestore
