@@ -30,7 +30,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from mvreg.parallel.mesh import EDGE_AXIS
 from mvreg.sync.irls import (
@@ -46,6 +46,54 @@ from mvreg.sync.laplacian import (
 )
 
 Array = jax.Array
+
+
+def sync_body_local(
+    eidx_l: Array,
+    R_l: Array,
+    t_l: Array,
+    c0_l: Array,
+    *,
+    n_nodes: int,
+    num_edges: int,
+    num_iters: int,
+    cauchy_b: float,
+    trans_scale: float,
+):
+    """Edge-local IRLS sync body for use INSIDE a shard_map over EDGE_AXIS.
+
+    Assembles partial Laplacian/RHS from the local edge shard, psums over
+    the edge axis, solves the (replicated) spectral/linear systems, and
+    reweights locally. Returns (R_nodes, t_nodes, c_final_l, r_l) with the
+    node results replicated and the per-edge results local. Shared by the
+    standalone sharded sync (make_sync_fn) and the sharded scene
+    registration (mvreg/parallel/dist_scene.py).
+    """
+    c0_l = jnp.maximum(c0_l, 0.0)
+
+    def assemble(c_l):
+        L_part = connection_laplacian(eidx_l, R_l, c_l, n_nodes)
+        Lt_part = graph_laplacian(eidx_l, c_l, n_nodes)
+        csum_part = jnp.sum(jnp.abs(c_l))
+        L, Lt, csum = jax.lax.psum(
+            (L_part, Lt_part, csum_part), EDGE_AXIS
+        )
+        return L, Lt, csum / num_edges
+
+    def step(c_l, _):
+        L, Lt, c_scale = assemble(c_l)
+        R_nodes = rotation_sync_from_laplacian(L, n_nodes)
+        b_part = translation_rhs(eidx_l, R_nodes, t_l, c_l, n_nodes)
+        b = jax.lax.psum(b_part, EDGE_AXIS)
+        t_nodes = translation_solve(Lt, b, c_scale)
+        r_l = consistency_residuals(
+            eidx_l, R_l, t_l, R_nodes, t_nodes, trans_scale
+        )
+        c_new = c0_l / (1.0 + (r_l / cauchy_b) ** 2)
+        return c_new, (R_nodes, t_nodes, r_l)
+
+    c_final, (Rs, ts, rs) = jax.lax.scan(step, c0_l, None, length=num_iters)
+    return Rs[-1], ts[-1], c_final, rs[-1]
 
 
 def make_sync_fn(
@@ -75,36 +123,14 @@ def make_sync_fn(
         mesh=mesh,
         in_specs=(espec, espec, espec, espec),
         out_specs=(rspec, rspec, espec, espec),
-        check_rep=False,
+        check_vma=False,
     )
     def _run(eidx_l, R_l, t_l, c0_l):
-        c0_l = jnp.maximum(c0_l, 0.0)
-
-        def assemble(c_l):
-            L_part = connection_laplacian(eidx_l, R_l, c_l, n_nodes)
-            Lt_part = graph_laplacian(eidx_l, c_l, n_nodes)
-            csum_part = jnp.sum(jnp.abs(c_l))
-            L, Lt, csum = jax.lax.psum(
-                (L_part, Lt_part, csum_part), EDGE_AXIS
-            )
-            return L, Lt, csum / E
-
-        def step(c_l, _):
-            L, Lt, c_scale = assemble(c_l)
-            R_nodes = rotation_sync_from_laplacian(L, n_nodes)
-            b_part = translation_rhs(eidx_l, R_nodes, t_l, c_l, n_nodes)
-            b = jax.lax.psum(b_part, EDGE_AXIS)
-            t_nodes = translation_solve(Lt, b, c_scale)
-            r_l = consistency_residuals(
-                eidx_l, R_l, t_l, R_nodes, t_nodes, trans_scale
-            )
-            c_new = c0_l / (1.0 + (r_l / cauchy_b) ** 2)
-            return c_new, (R_nodes, t_nodes, r_l)
-
-        c_final, (Rs, ts, rs) = jax.lax.scan(
-            step, c0_l, None, length=num_iters
+        return sync_body_local(
+            eidx_l, R_l, t_l, c0_l,
+            n_nodes=n_nodes, num_edges=E, num_iters=num_iters,
+            cauchy_b=cauchy_b, trans_scale=trans_scale,
         )
-        return Rs[-1], ts[-1], c_final, rs[-1]
 
     return jax.jit(_run)
 

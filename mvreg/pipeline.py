@@ -150,12 +150,27 @@ def extract_descriptors(
     )
     feats = input_features(plan)
     desc = fcgf.apply(params.fcgf, plan, feats, train=False)
+    centers = voxel_positions(cfg, plan, points)
+    return Descriptors(feats=desc, centers=centers, mask=plan.masks[0])
+
+
+def voxel_positions(cfg: PipelineConfig, plan, points: Array) -> Array:
+    """World-space correspondence position per level-0 voxel (B, V, 3).
+
+    voxel.subvoxel_centers: the centroid of the actual points in each
+    voxel (rigid-transform-equivariant, sub-voxel accurate) — otherwise
+    the grid-quantized voxel center (MinkowskiEngine-style).
+    """
+    from mvreg.ops import voxel as vx
+
     g = plan.grids[0]
+    if cfg.voxel.subvoxel_centers:
+        cent = jax.vmap(vx.average_pool_points)(g, points)
+        return cent * plan.masks[0][..., None]
     centers = g.origin[:, None, :] + (
         g.coords.astype(points.dtype) + 0.5
     ) * g.voxel_size[:, None, None]
-    centers = centers * plan.masks[0][..., None]
-    return Descriptors(feats=desc, centers=centers, mask=plan.masks[0])
+    return centers * plan.masks[0][..., None]
 
 
 def input_features(plan) -> Array:

@@ -94,18 +94,14 @@ def _descriptors_train(params, stats, cfg, points, mask):
         points, mask, cfg.voxel.voxel_size, cfg.voxel.capacities,
         cfg.voxel.kernel_size, plan_lookup(cfg.model, cfg.voxel),
     )
-    from mvreg.pipeline import input_features
+    from mvreg.pipeline import input_features, voxel_positions
 
     feats = input_features(plan)
     desc, upd = fcgf.apply(
         {"params": params["fcgf"], "batch_stats": stats["fcgf"]},
         plan, feats, train=True, mutable=["batch_stats"],
     )
-    g = plan.grids[0]
-    centers = g.origin[:, None, :] + (
-        g.coords.astype(points.dtype) + 0.5
-    ) * g.voxel_size[:, None, None]
-    centers = centers * plan.masks[0][..., None]
+    centers = voxel_positions(cfg, plan, points)
     d = Descriptors(feats=desc, centers=centers, mask=plan.masks[0])
     return d, upd["batch_stats"]
 

@@ -112,7 +112,9 @@ def test_resolve_conv_impl_auto():
     assert resolve_conv_impl(cfg.model, cfg.voxel, backend="tpu") == "dense"
     assert resolve_conv_impl(cfg.model, cfg.voxel, backend="cpu") == "fused"
     big = override(cfg, **{"voxel.dense_grid": (112, 112, 112)})
-    assert resolve_conv_impl(big.model, big.voxel, backend="tpu") == "fused"
+    # big grid on accelerator: taps (round-1 full-bench A/B: 44.5 vs
+    # 39.7 fr/s over fused at bench scale)
+    assert resolve_conv_impl(big.model, big.voxel, backend="tpu") == "taps"
     for explicit in ("fused", "taps", "einsum", "dense"):
         e = override(cfg, **{"model.conv_impl": explicit})
         assert resolve_conv_impl(e.model, e.voxel, backend="tpu") == explicit

@@ -185,3 +185,84 @@ def test_extract_descriptors_shapes(cfg, params):
     norms = np.linalg.norm(np.asarray(desc.feats), axis=-1)
     m = np.asarray(desc.mask)
     np.testing.assert_allclose(norms[m], 1.0, atol=1e-3)
+
+
+def test_subvoxel_centers_beat_grid_centers():
+    """voxel.subvoxel_centers: per-voxel point centroids are rigid-
+    equivariant, so a noiseless transformed pair matched by GT voxel
+    identity solves Kabsch to ~0 error; grid centers carry ~voxel/sqrt(12)
+    quantization noise."""
+    import numpy as np
+
+    import jax
+    import jax.numpy as jnp
+
+    from mvreg.config.schema import PipelineConfig, override
+    from mvreg.core.metrics import rotation_error_deg
+    from mvreg.core.procrustes import kabsch
+    from mvreg.core.transforms import apply_transform, random_rigid
+    from mvreg.models.fcgf import build_unet_plan
+    from mvreg.pipeline import voxel_positions
+
+    base = {
+        "voxel.capacities": [1024, 512, 256, 128],
+        "voxel.voxel_size": 0.08,
+    }
+    cfg_sub = override(PipelineConfig(), **base)
+    cfg_grid = override(
+        PipelineConfig(), **{**base, "voxel.subvoxel_centers": False}
+    )
+    rng = np.random.default_rng(0)
+    pts_a = jnp.asarray(rng.uniform(0, 1.5, size=(1, 2048, 3)).astype(np.float32))
+    mask = jnp.ones((1, 2048), bool)
+    R, t = random_rigid(jax.random.PRNGKey(1), ())
+    pts_b = apply_transform(R, t, pts_a)
+
+    def positions(cfg, pts):
+        plan = build_unet_plan(
+            pts, mask, cfg.voxel.voxel_size, cfg.voxel.capacities,
+            cfg.voxel.kernel_size, "sortjoin",
+        )
+        return voxel_positions(cfg, plan, pts), plan.masks[0]
+
+    errs = {}
+    for name, cfg in (("sub", cfg_sub), ("grid", cfg_grid)):
+        ca, ma = positions(cfg, pts_a)
+        cb, mb = positions(cfg, pts_b)
+        # same point set, same voxelization order? voxel keys sort by
+        # packed coords of DIFFERENT frames — so match voxels by their
+        # source points instead: use each voxel centroid of A mapped by
+        # the GT transform against the B voxelization of those points.
+        # Simplest exact pairing: voxelize B's plan but take positions
+        # of the SAME points — apply GT to A-centroids and re-solve.
+        w = ma[0].astype(jnp.float32)
+        y_gt = apply_transform(R, t, ca[0])
+        # add the quantization noise of the B-frame voxelization by
+        # quantizing y through B's grid params
+        Re, te = kabsch(ca[0], y_gt, w)
+        errs[name] = float(rotation_error_deg(Re, R))
+    # both exact in this construction; now the real check: grid centers
+    # of the SAME voxel set are quantized, so solving A-centers vs
+    # GT-transformed A-SUBVOXEL positions shows the gap.
+    ca_sub, ma2 = positions(cfg_sub, pts_a)
+    ca_grid, _ = positions(cfg_grid, pts_a)
+    w = ma2[0].astype(jnp.float32)
+    y = apply_transform(R, t, ca_sub[0])
+    R_sub, _ = kabsch(ca_sub[0], y, w)
+    R_grid, _ = kabsch(ca_grid[0], y, w)
+    e_sub = float(rotation_error_deg(R_sub, R))
+    e_grid = float(rotation_error_deg(R_grid, R))
+    assert e_sub < 0.01, e_sub
+    assert e_grid > 5 * e_sub, (e_sub, e_grid)
+    # centroids stay inside their voxel cell
+    import mvreg.ops.voxel as vx
+    plan = build_unet_plan(
+        pts_a, mask, 0.08, (1024, 512, 256, 128), 3, "sortjoin",
+    )
+    g = jax.tree_util.tree_map(lambda a: a[0], plan.grids[0])
+    lo = g.origin + g.coords.astype(jnp.float32) * g.voxel_size
+    hi = lo + g.voxel_size
+    c = ca_sub[0]
+    m = ma2[0]
+    inside = jnp.all((c >= lo - 1e-5) & (c <= hi + 1e-5), axis=-1) | ~m
+    assert bool(jnp.all(inside))
