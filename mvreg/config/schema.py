@@ -62,6 +62,12 @@ class MatchConfig:
     irls_iters: int = 3  # robust Procrustes reweighting (RANSAC stand-in)
     irls_scale: float = 0.05  # Cauchy scale, meters
     estimator: str = "irls"  # robust solver at eval: "irls" | "ransac"
+    # Point-to-point ICP polish after the robust solve (ops/icp.py):
+    # 0 = off. Each iteration is one (K, V) distance matmul + weighted
+    # Kabsch; junk pairs keep their original pose via the inlier gate.
+    icp_iters: int = 0
+    icp_scale: float = 0.05  # Cauchy scale, meters
+    icp_trust_radius: float = 0.25  # max NN association distance, meters
     # Edges vmapped per lax.map chunk in register_scene: bigger chunks =
     # larger batched GEMMs (MXU utilization) at higher peak memory.
     edge_batch: int = 16

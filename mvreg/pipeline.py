@@ -305,6 +305,17 @@ def register_pair(
             x, y, w_eff, num_iters=cfg.match.irls_iters,
             scale=cfg.match.irls_scale,
         )
+    if cfg.match.icp_iters > 0:
+        from mvreg.ops.icp import icp_refine
+
+        # Polish on the raw keypoint geometry (all valid keypoints, not
+        # just descriptor matches); junk pairs fall back to (R, t).
+        R, t = icp_refine(
+            R, t, fc, fm, desc_j.centers, desc_j.mask,
+            num_iters=cfg.match.icp_iters,
+            scale=cfg.match.icp_scale,
+            trust_radius=cfg.match.icp_trust_radius,
+        )
     res = transformation_residuals(R, t, x, y)
     stats = edge_statistics(w, corr_mask.astype(w.dtype), res)
     conf = cnet.apply(params.confidence, stats[None])[0]
