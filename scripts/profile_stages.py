@@ -1,12 +1,13 @@
 #!/usr/bin/env python
-"""Per-stage wall-clock breakdown of the pairwise pipeline.
+"""Per-stage wall-clock + FLOPs + MFU breakdown of the pairwise pipeline.
 
 Times each stage as its own jitted program (voxelize+plan, UNet forward,
 matching, filtering, robust Procrustes, confidence) with a readback
-barrier per rep, then the fully fused end-to-end program for comparison.
-Stage sums exceed the fused time (XLA overlaps/fuses across stages);
-use the per-stage shares to pick optimization targets, the fused number
-as the truth.
+barrier per rep, and reports each stage's XLA-counted FLOPs and MFU
+(FLOPs / time / chip peak) — the VERDICT.md round-1 item-4 accounting:
+one table saying how far each stage is from the MXU roof and which
+stage is the bottleneck. Stage sums exceed a fused end-to-end time
+(XLA overlaps/fuses across stages); use shares to pick targets.
 
 SURVEY.md §5.1: the reference has no profiler integration at all.
 """
@@ -113,6 +114,16 @@ def main() -> None:
     def bar(x):
         np.asarray(jax.tree_util.tree_leaves(x)[0].ravel()[:1])
 
+    def _flops(f, *a):
+        try:
+            ca = f.lower(*a).compile().cost_analysis()
+            if isinstance(ca, (list, tuple)):
+                ca = ca[0]
+            v = float(ca.get("flops", 0.0))
+            return v if v > 0 else None
+        except Exception:
+            return None
+
     def timed(name, f, *a):
         out = f(*a)
         bar(out)
@@ -121,9 +132,11 @@ def main() -> None:
             out = f(*a)
             bar(out)
         times[name] = (time.perf_counter() - t0) / args.reps
+        flops[name] = _flops(f, *a)
         return out
 
     times: dict[str, float] = {}
+    flops: dict[str, float | None] = {}
     plan = timed("1_voxelize_plan", plan_fn, points, mask)
     desc = timed("2_unet", unet_fn, params.fcgf, plan)
     g = plan.grids[0]
@@ -141,11 +154,22 @@ def main() -> None:
           R, t, x, y)
 
     total = sum(times.values())
+    # TPU v5e bf16 matmul peak; override for other chips.
+    peak = float(os.environ.get("MVREG_PEAK_FLOPS", 197e12))
     print(f"backend={jax.default_backend()} pairs={B} points={args.points}")
+    print(f"  {'stage':18s} {'ms':>9s} {'share':>6s} {'GFLOP':>9s} {'MFU':>7s}")
     for k, v in sorted(times.items()):
-        print(f"  {k:18s} {v * 1e3:9.2f} ms  {v / total * 100:5.1f}%")
+        fl = flops.get(k)
+        gf = f"{fl / 1e9:9.2f}" if fl else "        -"
+        mfu = f"{fl / v / peak * 100:6.2f}%" if fl else "      -"
+        print(f"  {k:18s} {v * 1e3:9.2f} {v / total * 100:5.1f}% {gf} {mfu}")
     print(f"  {'sum_of_stages':18s} {total * 1e3:9.2f} ms")
     out = {k: round(v * 1e3, 2) for k, v in times.items()}
+    out["flops"] = {k: v for k, v in flops.items() if v}
+    out["mfu"] = {
+        k: round(flops[k] / times[k] / peak, 5)
+        for k in times if flops.get(k)
+    }
     out["backend"] = jax.default_backend()
     print(json.dumps(out))
     if args.json_out:
