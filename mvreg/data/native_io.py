@@ -40,6 +40,19 @@ def _load():
         lib.ply_read_xyz.argtypes = [
             ctypes.c_char_p, ctypes.POINTER(ctypes.c_float), ctypes.c_long,
         ]
+        if hasattr(lib, "loader_create"):
+            lib.loader_create.restype = ctypes.c_long
+            lib.loader_create.argtypes = [
+                ctypes.POINTER(ctypes.c_char_p), ctypes.c_long,
+                ctypes.c_long, ctypes.c_float, ctypes.c_long,
+            ]
+            lib.loader_next.restype = ctypes.c_long
+            lib.loader_next.argtypes = [
+                ctypes.c_long, ctypes.POINTER(ctypes.c_float),
+                ctypes.POINTER(ctypes.c_long),
+            ]
+            lib.loader_destroy.restype = ctypes.c_long
+            lib.loader_destroy.argtypes = [ctypes.c_long]
         lib.voxel_subsample.restype = ctypes.c_long
         lib.voxel_subsample.argtypes = [
             ctypes.POINTER(ctypes.c_float), ctypes.c_long, ctypes.c_float,
@@ -95,6 +108,84 @@ def voxel_subsample(points: np.ndarray, voxel_size: float) -> np.ndarray:
     if m < 0:
         raise MemoryError("native voxel_subsample failed")
     return out[:m].copy()
+
+
+class FragmentLoader:
+    """Threaded prefetching PLY fragment loader (native pthread pool).
+
+    The reference overlaps host IO/preprocessing with GPU compute via
+    torch DataLoader worker processes (SURVEY.md §2.3); this is the
+    native counterpart feeding the TPU: worker threads read + voxel-
+    subsample + pad fragments while the device consumes earlier ones.
+    Iterate to get (index, (P, 3) float32 points, (P,) bool mask) in
+    submission order. Falls back to synchronous numpy when the native
+    library is unavailable.
+    """
+
+    def __init__(
+        self,
+        paths: list[str],
+        points_per_fragment: int,
+        voxel_size: float = 0.0,
+        threads: int = 4,
+    ):
+        self._paths = list(paths)
+        self._P = int(points_per_fragment)
+        self._voxel = float(voxel_size)
+        self._lib = _load() or None
+        self._id = None
+        if self._lib is not None and hasattr(self._lib, "loader_create"):
+            arr = (ctypes.c_char_p * len(self._paths))(
+                *[p.encode() for p in self._paths]
+            )
+            lid = self._lib.loader_create(
+                arr, len(self._paths), self._P,
+                ctypes.c_float(self._voxel), threads,
+            )
+            self._id = lid if lid >= 0 else None
+        self._served = 0
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        if self._served >= len(self._paths):
+            raise StopIteration
+        self._served += 1
+        if self._id is not None:
+            out = np.empty((self._P, 3), np.float32)
+            cnt = ctypes.c_long(0)
+            idx = self._lib.loader_next(
+                self._id, _fptr(out), ctypes.byref(cnt)
+            )
+            if idx < 0:
+                raise StopIteration
+            mask = np.zeros(self._P, bool)
+            mask[: cnt.value] = True
+            out[cnt.value:] = 0.0
+            return int(idx), out, mask
+        # numpy fallback: synchronous
+        idx = self._served - 1
+        pts = read_ply(self._paths[idx])
+        if self._voxel > 0:
+            pts = voxel_subsample(pts, self._voxel)
+        pts = random_subsample(pts, self._P, seed=idx + 1)
+        out = np.zeros((self._P, 3), np.float32)
+        out[: len(pts)] = pts
+        mask = np.zeros(self._P, bool)
+        mask[: len(pts)] = True
+        return idx, out, mask
+
+    def close(self):
+        if self._id is not None and self._lib is not None:
+            self._lib.loader_destroy(self._id)
+            self._id = None
+
+    def __del__(self):  # best-effort; explicit close() preferred
+        try:
+            self.close()
+        except Exception:
+            pass
 
 
 def random_subsample(

@@ -24,7 +24,6 @@ from typing import NamedTuple
 
 import numpy as np
 
-from mvreg.data.native_io import read_ply
 from mvreg.data.threedmatch import write_ply
 
 
@@ -88,19 +87,23 @@ def load_scene(
         raise FileNotFoundError(f"no GT poses in {path}")
 
     P = points_per_fragment
-    rng = np.random.default_rng(seed)
     pts = np.zeros((n, P, 3), np.float32)
     msk = np.zeros((n, P), bool)
     R = np.zeros((n, 3, 3), np.float32)
     t = np.zeros((n, 3), np.float32)
-    for k, f in enumerate(files):
-        cloud = read_ply(os.path.join(path, f))
-        take = (
-            rng.choice(len(cloud), P, replace=False)
-            if len(cloud) > P else np.arange(len(cloud))
-        )
-        pts[k, : len(take)] = cloud[take]
-        msk[k, : len(take)] = True
+    # Threaded native prefetch (pthread pool) when built; the fallback
+    # inside FragmentLoader is the synchronous numpy path.
+    from mvreg.data.native_io import FragmentLoader
+
+    loader = FragmentLoader(
+        [os.path.join(path, f) for f in files], points_per_fragment=P,
+        threads=4,
+    )
+    for k, frag_pts, frag_mask in loader:
+        pts[k] = frag_pts
+        msk[k] = frag_mask
+    loader.close()
+    for k in range(n):
         R[k] = poses[k][:3, :3]
         t[k] = poses[k][:3, 3]
     return ScanNetScene(

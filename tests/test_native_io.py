@@ -72,3 +72,67 @@ def test_native_random_subsample(have_native):
     # copy path when n <= target
     small = native_io.random_subsample(pts[:50], 100)
     np.testing.assert_array_equal(small, pts[:50])
+
+
+def test_fragment_loader_threaded(tmp_path):
+    """Native pthread loader returns every fragment once, padded and
+    masked, matching the synchronous path's content."""
+    from mvreg.data.native_io import (
+        FragmentLoader,
+        native_available,
+        read_ply,
+    )
+    from mvreg.data.threedmatch import write_ply
+
+    rng = np.random.default_rng(0)
+    paths = []
+    sizes = [700, 1500, 300, 1000]
+    for k, n in enumerate(sizes):
+        pts = rng.uniform(-1, 1, size=(n, 3)).astype(np.float32)
+        p = str(tmp_path / f"frag_{k}.ply")
+        write_ply(p, pts, binary=(k % 2 == 0))
+        paths.append(p)
+
+    P = 1024
+    loader = FragmentLoader(paths, points_per_fragment=P, threads=3)
+    got = {}
+    for idx, pts, mask in loader:
+        assert pts.shape == (P, 3) and mask.shape == (P,)
+        assert np.all(pts[~mask] == 0)
+        got[idx] = (pts.copy(), int(mask.sum()))
+    loader.close()
+    assert sorted(got) == [0, 1, 2, 3]
+    for k, n in enumerate(sizes):
+        assert got[k][1] == min(n, P)
+        # the valid points must all come from the source file
+        src = read_ply(paths[k])
+        sel = got[k][0][: got[k][1]]
+        d = np.abs(sel[:, None, :] - src[None, :, :]).sum(-1).min(1)
+        assert float(d.max()) < 1e-5
+
+    if native_available():
+        # second pass, single-threaded: same fragment content
+        l2 = FragmentLoader(paths, points_per_fragment=P, threads=1)
+        got2 = {i: (p, int(m.sum())) for i, p, m in l2}
+        l2.close()
+        for k in got:
+            assert got[k][1] == got2[k][1]
+
+
+def test_fragment_loader_voxel_subsample(tmp_path):
+    from mvreg.data.native_io import FragmentLoader
+    from mvreg.data.threedmatch import write_ply
+
+    rng = np.random.default_rng(1)
+    # many duplicate-ish points in few voxels
+    base = rng.uniform(0, 0.3, size=(8, 3)).astype(np.float32)
+    pts = np.repeat(base, 200, axis=0) + 0.001 * rng.normal(
+        size=(1600, 3)
+    ).astype(np.float32)
+    p = str(tmp_path / "dense.ply")
+    write_ply(p, pts.astype(np.float32))
+    loader = FragmentLoader([p], points_per_fragment=512, voxel_size=0.1)
+    idx, out, mask = next(iter(loader))
+    loader.close()
+    assert mask.sum() <= 32  # few voxels -> few survivors
+    assert mask.sum() >= 4
