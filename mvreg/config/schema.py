@@ -62,6 +62,17 @@ class MatchConfig:
     irls_iters: int = 3  # robust Procrustes reweighting (RANSAC stand-in)
     irls_scale: float = 0.05  # Cauchy scale, meters
     estimator: str = "irls"  # robust solver at eval: "irls" | "ransac"
+    # Spectral geometric-consistency inlier scoring (ops/spectral_match):
+    # principal eigenvector of the rigid-distance-preservation
+    # compatibility matrix gates the Procrustes weights. Rescues the
+    # 5-20% inlier regime where filter+IRLS collapses (50 deg -> 0.2 deg
+    # at 5% inliers in the unit A/B).
+    spectral: bool = True
+    spectral_sigma: float = 0.05  # distance-consistency scale, meters
+    spectral_quantile: float = 0.9  # zero scores below this quantile
+    # Overlap-verification NN threshold for multi-hypothesis pose
+    # selection (ops/pose_verify.py), meters.
+    verify_tau: float = 0.1
     # Point-to-point ICP polish after the robust solve (ops/icp.py):
     # 0 = off. Each iteration is one (K, V) distance matmul + weighted
     # Kabsch; junk pairs keep their original pose via the inlier gate.

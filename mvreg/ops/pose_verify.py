@@ -1,0 +1,81 @@
+"""Pose hypothesis verification by cloud-overlap scoring.
+
+Structured outliers defeat any single weighting scheme: on self-similar
+scenes (periodic floors, repeated furniture — and 3DMatch corridors),
+wrong-but-rigid-consistent match cliques exist, so both the learned
+filter (runs/results/r2_scene8_diag_cpu.json: 61% of true-overlap edges
+confidently wrong) and spectral consistency (r2_scene8_diag_spectral:
+worse — it amplifies the biggest clique, not the right one) can pick an
+aliased pose. What disambiguates aliases is the FULL geometry: a slid/
+flipped solution aligns the repetitive structure but misaligns
+everything else. Score every candidate pose by symmetric cloud overlap
+
+    score(T) = ½·frac_x[ d(T·x, Y) < τ ] + ½·frac_y[ d(T⁻¹·y, X) < τ ]
+
+(one (K, V) distance matmul per direction — MXU work) and keep the
+argmax. The reference has no counterpart; its benchmark absorbs such
+failures as lost recall.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from mvreg.core.transforms import inverse
+
+Array = jax.Array
+
+
+def _frac_close(
+    x: Array, x_mask: Array, y: Array, y_mask: Array, tau: float
+) -> Array:
+    """Fraction of valid x within tau of some valid y (min over (K,V))."""
+    x2 = jnp.sum(x * x, axis=-1, keepdims=True)
+    y2 = jnp.sum(y * y, axis=-1)
+    d2 = x2 + y2[None, :] - 2.0 * jnp.dot(
+        x, y.T, preferred_element_type=jnp.float32
+    )
+    d2 = jnp.where(y_mask[None, :], d2, jnp.inf)
+    close = (jnp.min(d2, axis=-1) < tau * tau) & x_mask.astype(bool)
+    n = jnp.maximum(jnp.sum(x_mask.astype(jnp.float32)), 1.0)
+    return jnp.sum(close.astype(jnp.float32)) / n
+
+
+def overlap_score(
+    R: Array,
+    t: Array,
+    x: Array,
+    x_mask: Array,
+    y: Array,
+    y_mask: Array,
+    tau: float = 0.1,
+) -> Array:
+    """Symmetric overlap fraction of the pose T: x -> y, in [0, 1]."""
+    xt = jnp.einsum("ij,nj->ni", R, x) + t
+    Ri, ti = inverse(R, t)
+    yt = jnp.einsum("ij,nj->ni", Ri, y) + ti
+    return 0.5 * (
+        _frac_close(xt, x_mask, y, y_mask, tau)
+        + _frac_close(yt, y_mask, x, x_mask, tau)
+    )
+
+
+def select_best_pose(
+    candidates_R: Array,
+    candidates_t: Array,
+    x: Array,
+    x_mask: Array,
+    y: Array,
+    y_mask: Array,
+    tau: float = 0.1,
+) -> tuple[Array, Array, Array]:
+    """Pick the candidate (H, 3, 3)/(H, 3) maximizing overlap score.
+
+    Returns (R, t, scores (H,)).
+    """
+    scores = jax.vmap(
+        lambda R, t: overlap_score(R, t, x, x_mask, y, y_mask, tau)
+    )(candidates_R, candidates_t)
+    k = jnp.argmax(scores)
+    return candidates_R[k], candidates_t[k], scores

@@ -57,6 +57,7 @@ class PairResult(NamedTuple):
     x: Array  # (K, 3) source keypoints (frame i)
     y: Array  # (K, 3) matched targets (frame j)
     corr_mask: Array  # (K,)
+    overlap: Array  # () symmetric cloud-overlap score of (R, t) in [0,1]
 
 
 class SceneResult(NamedTuple):
@@ -305,23 +306,64 @@ def register_pair(
             x, y, w_eff, num_iters=cfg.match.irls_iters,
             scale=cfg.match.irls_scale,
         )
-    if cfg.match.icp_iters > 0:
+
+    def _polish(Rc, tc):
+        if cfg.match.icp_iters <= 0:
+            return Rc, tc
         from mvreg.ops.icp import icp_refine
 
         # Polish on the raw keypoint geometry (all valid keypoints, not
-        # just descriptor matches); junk pairs fall back to (R, t).
-        R, t = icp_refine(
-            R, t, fc, fm, desc_j.centers, desc_j.mask,
+        # just descriptor matches); junk pairs keep their pose.
+        return icp_refine(
+            Rc, tc, fc, fm, desc_j.centers, desc_j.mask,
             num_iters=cfg.match.icp_iters,
             scale=cfg.match.icp_scale,
             trust_radius=cfg.match.icp_trust_radius,
+        )
+
+    if cfg.match.spectral:
+        # Multi-hypothesis + overlap verification. Structured outliers
+        # (self-similar scenes) can hand EITHER weighting an aliased
+        # rigid-consistent pose; neither dominates the other (measured:
+        # filter-IRLS 39% vs spectral 21% good edges on the hard scene,
+        # but the sets differ). Solve with both, then keep the pose
+        # whose transform actually overlaps the clouds (aliased
+        # solutions misalign everything off the repeated structure).
+        from mvreg.ops.spectral_match import spectral_filter_weights
+        from mvreg.ops.pose_verify import select_best_pose
+
+        w_spec = spectral_filter_weights(
+            x, y, corr_mask,
+            sigma=cfg.match.spectral_sigma,
+            num_iters=12,
+            keep_quantile=cfg.match.spectral_quantile,
+        )
+        R_s, t_s, _ = irls_kabsch(
+            x, y, w_spec * (0.2 + 0.8 * w_eff),
+            num_iters=cfg.match.irls_iters, scale=cfg.match.irls_scale,
+        )
+        R_a, t_a = _polish(R, t)
+        R_b, t_b = _polish(R_s, t_s)
+        R, t, _scores = select_best_pose(
+            jnp.stack([R_a, R_b]), jnp.stack([t_a, t_b]),
+            fc, fm, desc_j.centers, desc_j.mask,
+            tau=cfg.match.verify_tau,
+        )
+        ov = jnp.max(_scores)
+    else:
+        from mvreg.ops.pose_verify import overlap_score
+
+        R, t = _polish(R, t)
+        ov = overlap_score(
+            R, t, fc, fm, desc_j.centers, desc_j.mask,
+            tau=cfg.match.verify_tau,
         )
     res = transformation_residuals(R, t, x, y)
     stats = edge_statistics(w, corr_mask.astype(w.dtype), res)
     conf = cnet.apply(params.confidence, stats[None])[0]
     return PairResult(
         R=R, t=t, confidence=conf, logits=logits, weights=w,
-        x=x, y=y, corr_mask=corr_mask,
+        x=x, y=y, corr_mask=corr_mask, overlap=ov,
     )
 
 

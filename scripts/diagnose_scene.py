@@ -114,10 +114,25 @@ def main() -> None:
     R_gt_ij, t_gt_ij = relative(Rg[i], tg[i], Rg[j], tg[j])
     rot_err = np.asarray(rotation_error_deg(pairs.R, R_gt_ij))
     tr_err = np.asarray(translation_error(pairs.t, t_gt_ij))
+    # GT-inlier rate of the putative matches per edge: the ceiling any
+    # downstream robust solver can work with.
+    xs, ys = np.asarray(pairs.x), np.asarray(pairs.y)
+    cms = np.asarray(pairs.corr_mask).astype(bool)
+    moved = np.einsum("eij,ekj->eki", np.asarray(R_gt_ij), xs) + np.asarray(
+        t_gt_ij
+    )[:, None, :]
+    derr = np.linalg.norm(moved - ys, axis=-1)
+    gt_inl = np.where(
+        cms.sum(-1) > 0,
+        (derr < 0.1).astype(np.float32).sum(-1)
+        / np.maximum(cms.sum(-1), 1),
+        0.0,
+    )
     center_d = np.linalg.norm(
         scene.centers[i] - scene.centers[j], axis=-1
     )
     conf = np.asarray(pairs.confidence)
+    ovl = np.asarray(pairs.overlap)
     w_sum = np.asarray(jnp.sum(pairs.weights * pairs.corr_mask, axis=-1))
     n_corr = np.asarray(jnp.sum(pairs.corr_mask, axis=-1))
     w_sync = np.asarray(sync.weights)
@@ -139,6 +154,13 @@ def main() -> None:
             "rot_err_median_junk": float(np.median(rot_err[~overlap])),
             "good_overlap_frac": frac(good_pair[overlap]),
             "good_junk_frac": frac(good_pair[~overlap]),
+            "gt_inlier_median_overlap": float(np.median(gt_inl[overlap])),
+            "gt_inlier_median_on_good": float(
+                np.median(gt_inl[good_pair])
+            ) if good_pair.any() else 0.0,
+            "gt_inlier_median_on_bad": float(
+                np.median(gt_inl[~good_pair])
+            ) if (~good_pair).any() else 0.0,
         },
         "confidence": {
             "mean_overlap": frac(conf[overlap]),
@@ -147,6 +169,11 @@ def main() -> None:
             "overlap_above_thr": frac(conf[overlap] >= thr),
             "bad_edge_above_thr": frac(conf[~good_pair] >= thr),
             "auroc_good_vs_bad": _auroc(conf, good_pair),
+        },
+        "overlap_score": {
+            "mean_on_good": frac(ovl[good_pair]),
+            "mean_on_bad": frac(ovl[~good_pair]),
+            "auroc_good_vs_bad": _auroc(ovl, good_pair),
         },
         "sync_weights": {
             "mean_on_good": frac(w_sync[good_pair]),
@@ -168,6 +195,8 @@ def main() -> None:
             "i": int(i[k]), "j": int(j[k]),
             "center_d": round(float(center_d[k]), 3),
             "conf": round(float(conf[k]), 4),
+            "ovl": round(float(ovl[k]), 4),
+            "gt_inl": round(float(gt_inl[k]), 4),
             "rot_err": round(float(rot_err[k]), 2),
             "tr_err": round(float(tr_err[k]), 3),
             "n_corr": int(n_corr[k]),
