@@ -73,6 +73,11 @@ class MatchConfig:
     # Overlap-verification NN threshold for multi-hypothesis pose
     # selection (ops/pose_verify.py), meters.
     verify_tau: float = 0.1
+    # Overlap-scored RANSAC hypothesis source (0 = off): minimal samples
+    # scored by cloud overlap instead of match consensus — the escape
+    # hatch from structured outlier cliques that fool both the learned
+    # filter and spectral consistency.
+    overlap_ransac_hypotheses: int = 512
     # Point-to-point ICP polish after the robust solve (ops/icp.py):
     # 0 = off. Each iteration is one (K, V) distance matmul + weighted
     # Kabsch; junk pairs keep their original pose via the inlier gate.
@@ -103,6 +108,14 @@ class SyncConfig:
     num_iters: int = 4
     cauchy_b: float = 0.5
     confidence_threshold: float = 0.3  # prune edges below
+    # Cloud-overlap gate on the sync init weights: the verifier score
+    # (PairResult.overlap) separates correct from aliased/junk poses
+    # with AUROC 1.0 on the hard synthetic scene (runs/results/
+    # r2_scene8_diag_ovl.json: good >= 0.65, bad <= 0.59) where the
+    # learned confidence saturates at 0.99 on both.
+    overlap_gate: bool = True
+    overlap_floor: float = 0.3  # scores at/below this gate to zero
+    overlap_power: float = 2.0  # sharpness of the ramp above the floor
     trans_scale: float = 1.0
     # pairwise<->sync refinement rounds (C8). 2 is the measured winner of
     # the on-chip sweep (runs/results/mv_sweep_*.json: rot@5deg 0.607 and

@@ -61,6 +61,64 @@ def overlap_score(
     )
 
 
+def ransac_overlap_candidate(
+    key: Array,
+    x: Array,
+    y: Array,
+    corr_mask: Array,
+    xv: Array,
+    xv_mask: Array,
+    yv: Array,
+    yv_mask: Array,
+    num_hypotheses: int = 512,
+    tau: float = 0.1,
+    chunk: int = 64,
+) -> tuple[Array, Array]:
+    """Best minimal-sample pose by CLOUD-OVERLAP scoring (not consensus).
+
+    Classic RANSAC scores hypotheses by putative-match consensus — which
+    is exactly what a structured outlier clique (floor alias) maximizes.
+    Scoring by overlap of the verification clouds (xv vs yv) breaks that
+    circularity: only the true pose aligns geometry OFF the repeated
+    structure. At a 10-15% inlier rate, 512 3-point samples contain a
+    clean triple with p ≈ 0.4-0.8; cost is H/chunk (chunkKv, Vv)
+    distance matmuls — MXU work, trivially small next to the UNet.
+    """
+    from mvreg.core.procrustes import kabsch
+    from mvreg.core.ransac import _sample_indices
+
+    idx = _sample_indices(key, corr_mask, num_hypotheses, 3)
+    xs, ys = x[idx], y[idx]
+    R_h, t_h = kabsch(xs, ys, jnp.ones(idx.shape, x.dtype))
+
+    nv = jnp.maximum(jnp.sum(xv_mask.astype(jnp.float32)), 1.0)
+    y2 = jnp.sum(yv * yv, axis=-1)
+
+    def score_chunk(args):
+        R_c, t_c = args  # (C, 3, 3), (C, 3)
+        moved = jnp.einsum("cij,nj->cni", R_c, xv) + t_c[:, None, :]
+        m2 = jnp.sum(moved * moved, axis=-1)  # (C, Kv)
+        d2 = (
+            m2[..., None]
+            + y2[None, None, :]
+            - 2.0
+            * jnp.einsum(
+                "cni,vi->cnv", moved, yv,
+                preferred_element_type=jnp.float32,
+            )
+        )
+        d2 = jnp.where(yv_mask[None, None, :], d2, jnp.inf)
+        close = (jnp.min(d2, axis=-1) < tau * tau) & xv_mask[None, :]
+        return jnp.sum(close.astype(jnp.float32), axis=-1) / nv
+
+    H = num_hypotheses
+    R_ch = R_h.reshape(H // chunk, chunk, 3, 3)
+    t_ch = t_h.reshape(H // chunk, chunk, 3)
+    scores = jax.lax.map(score_chunk, (R_ch, t_ch)).reshape(H)
+    best = jnp.argmax(scores)
+    return R_h[best], t_h[best]
+
+
 def select_best_pose(
     candidates_R: Array,
     candidates_t: Array,

@@ -113,10 +113,16 @@ def register_scene_sharded(
         )
         conf_l = pairs_l.confidence * evalid_l
         c_l = conf_l * (conf_l >= cfg.sync.confidence_threshold)
-        # fallback needs the GLOBAL pruned mass (single-device parity
-        # with pipeline.initial_edge_weights)
+        # fallbacks need the GLOBAL mass (single-device parity with
+        # pipeline.initial_edge_weights)
         total = jax.lax.psum(jnp.sum(c_l), EDGE_AXIS)
         c_l = jnp.where(total > 1e-6, c_l, conf_l)
+        if cfg.sync.overlap_gate:
+            from mvreg.pipeline import overlap_gate
+
+            gated = c_l * overlap_gate(cfg, pairs_l.overlap)
+            gtotal = jax.lax.psum(jnp.sum(gated), EDGE_AXIS)
+            c_l = jnp.where(gtotal > 1e-6, gated, c_l)
         c_init_l = c_l
 
         # num_edges=E (true count): padded edges carry zero weight, so

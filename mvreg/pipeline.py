@@ -342,10 +342,22 @@ def register_pair(
             x, y, w_spec * (0.2 + 0.8 * w_eff),
             num_iters=cfg.match.irls_iters, scale=cfg.match.irls_scale,
         )
-        R_a, t_a = _polish(R, t)
-        R_b, t_b = _polish(R_s, t_s)
+        cand_R = [_polish(R, t), _polish(R_s, t_s)]
+        if cfg.match.overlap_ransac_hypotheses > 0:
+            from mvreg.ops.pose_verify import ransac_overlap_candidate
+
+            # verification subset: first Kv spread keypoints
+            Kv = min(256, fc.shape[0])
+            R_o, t_o = ransac_overlap_candidate(
+                jax.random.PRNGKey(0), x, y, corr_mask,
+                fc[:Kv], fm[:Kv], desc_j.centers, desc_j.mask,
+                num_hypotheses=cfg.match.overlap_ransac_hypotheses,
+                tau=cfg.match.verify_tau,
+            )
+            cand_R.append(_polish(R_o, t_o))
         R, t, _scores = select_best_pose(
-            jnp.stack([R_a, R_b]), jnp.stack([t_a, t_b]),
+            jnp.stack([c[0] for c in cand_R]),
+            jnp.stack([c[1] for c in cand_R]),
             fc, fm, desc_j.centers, desc_j.mask,
             tau=cfg.match.verify_tau,
         )
@@ -402,13 +414,32 @@ def register_edges(
     )
 
 
+def overlap_gate(cfg: PipelineConfig, overlap: Array) -> Array:
+    """Monotone ramp of the cloud-overlap verifier score into [0, 1].
+
+    Soft (not a hard prune): correct poses on genuinely low-overlap
+    pairs score ~the true overlap fraction, so relative ordering — not
+    a global threshold — is what the spectral sync needs.
+    """
+    g = jnp.maximum(overlap - cfg.sync.overlap_floor, 0.0) / (
+        1.0 - cfg.sync.overlap_floor
+    )
+    return g ** cfg.sync.overlap_power
+
+
 def initial_edge_weights(cfg: PipelineConfig, pairs: PairResult) -> Array:
-    """Sync-input edge weights from the confidence head (threshold-pruned,
-    with a fallback to raw confidences if pruning empties the graph)."""
+    """Sync-input edge weights: confidence, threshold-pruned (fallback
+    to raw confidences if pruning empties the graph), then gated by the
+    cloud-overlap verifier score."""
     c_init = pairs.confidence * (
         pairs.confidence >= cfg.sync.confidence_threshold
     )
-    return jnp.where(jnp.sum(c_init) > 1e-6, c_init, pairs.confidence)
+    c_init = jnp.where(jnp.sum(c_init) > 1e-6, c_init, pairs.confidence)
+    if cfg.sync.overlap_gate:
+        gated = c_init * overlap_gate(cfg, pairs.overlap)
+        # never hand the eigensolver an all-zero graph
+        c_init = jnp.where(jnp.sum(gated) > 1e-6, gated, c_init)
+    return c_init
 
 
 def sync_with_refine(
