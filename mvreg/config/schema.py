@@ -78,10 +78,13 @@ class MatchConfig:
     # hatch from structured outlier cliques that fool both the learned
     # filter and spectral consistency.
     overlap_ransac_hypotheses: int = 512
-    # Point-to-point ICP polish after the robust solve (ops/icp.py):
+    # Point-to-point ICP polish of every pose candidate (ops/icp.py):
     # 0 = off. Each iteration is one (K, V) distance matmul + weighted
     # Kabsch; junk pairs keep their original pose via the inlier gate.
-    icp_iters: int = 0
+    # Default on: with the verified multi-hypothesis solve the initial
+    # pose is usually in the true basin, where polish takes pairwise
+    # translation from ~dm to ~cm.
+    icp_iters: int = 3
     icp_scale: float = 0.05  # Cauchy scale, meters
     icp_trust_radius: float = 0.25  # max NN association distance, meters
     # Edges vmapped per lax.map chunk in register_scene: bigger chunks =
@@ -116,6 +119,10 @@ class SyncConfig:
     overlap_gate: bool = True
     overlap_floor: float = 0.3  # scores at/below this gate to zero
     overlap_power: float = 2.0  # sharpness of the ramp above the floor
+    # Scene-level Jacobi ICP polish of the synced ABSOLUTE poses
+    # (sync/refine.py): fixes the translation drift that survives the
+    # graph solve. 0 = off.
+    scene_icp_rounds: int = 2
     trans_scale: float = 1.0
     # pairwise<->sync refinement rounds (C8). 2 is the measured winner of
     # the on-chip sweep (runs/results/mv_sweep_*.json: rot@5deg 0.607 and

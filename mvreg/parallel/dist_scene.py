@@ -174,5 +174,19 @@ def register_scene_sharded(
     pairs = jax.tree_util.tree_map(unpad, pairs)
     sync = SyncResult(R=R_nodes, t=t_nodes, weights=unpad(w),
                       residuals=unpad(r))
+    if cfg.sync.scene_icp_rounds > 0:
+        # replicated (cheap) — identical math to the single-device path
+        from mvreg.sync.refine import scene_icp_refine
+
+        desc_n = jax.tree_util.tree_map(lambda a: a[:N], desc)
+        sync = jax.jit(
+            lambda c, m, s: scene_icp_refine(
+                c, m, s, rounds=cfg.sync.scene_icp_rounds,
+                icp_iters=cfg.match.icp_iters if cfg.match.icp_iters > 0
+                else 3,
+                scale=cfg.match.icp_scale,
+                trust_radius=cfg.match.icp_trust_radius,
+            )
+        )(desc_n.centers, desc_n.mask, sync)
     return SceneResult(edge_idx=jnp.asarray(edge_idx), pairs=pairs,
                        sync=sync)

@@ -447,6 +447,7 @@ def sync_with_refine(
     edge_idx: Array,
     pairs: PairResult,
     n_nodes: int,
+    desc: Descriptors | None = None,
 ) -> tuple[PairResult, SyncResult]:
     """Confidence-pruned IRLS sync + pairwise<->sync refinement (C7+C8).
 
@@ -483,6 +484,16 @@ def sync_with_refine(
             n_nodes=n_nodes, num_iters=cfg.sync.num_iters,
             cauchy_b=cfg.sync.cauchy_b, trans_scale=cfg.sync.trans_scale,
         )
+    if desc is not None and cfg.sync.scene_icp_rounds > 0:
+        from mvreg.sync.refine import scene_icp_refine
+
+        sync = scene_icp_refine(
+            desc.centers, desc.mask, sync,
+            rounds=cfg.sync.scene_icp_rounds,
+            icp_iters=cfg.match.icp_iters if cfg.match.icp_iters > 0 else 3,
+            scale=cfg.match.icp_scale,
+            trust_radius=cfg.match.icp_trust_radius,
+        )
     return pairs, sync
 
 
@@ -505,5 +516,5 @@ def register_scene(
     desc = extract_descriptors(params, cfg, points, mask)
     edge_idx = all_pairs(N)
     pairs = register_edges(params, cfg, desc, edge_idx, use_filter=use_filter)
-    pairs, sync = sync_with_refine(cfg, edge_idx, pairs, n_nodes=N)
+    pairs, sync = sync_with_refine(cfg, edge_idx, pairs, n_nodes=N, desc=desc)
     return SceneResult(edge_idx=edge_idx, pairs=pairs, sync=sync)

@@ -111,8 +111,8 @@ def main() -> None:
 
     def sync_fn_for(n):
         return jax.jit(
-            lambda e_idx, pairs: sync_with_refine(
-                cfg, e_idx, pairs, n_nodes=n
+            lambda e_idx, pairs, d: sync_with_refine(
+                cfg, e_idx, pairs, n_nodes=n, desc=d
             )
         )
 
@@ -145,7 +145,7 @@ def main() -> None:
         mark(f"scene {s}: {E} pairwise registrations done")
         if N not in sync_fns:
             sync_fns[N] = sync_fn_for(N)
-        pairs, sync = sync_fns[N](jnp.asarray(edge_idx), pairs)
+        pairs, sync = sync_fns[N](jnp.asarray(edge_idx), pairs, desc)
         np.asarray(sync.R)
         mark(f"scene {s}: sync + {cfg.sync.refine_iters} refine done")
         return sync

@@ -189,5 +189,8 @@ def test_sharded_scene_matches_single_device():
         np.asarray(out2.sync.R), np.asarray(out2.sync.t),
         np.asarray(out1.sync.R), np.asarray(out1.sync.t),
     )
-    assert float(np.max(err.rot_deg)) < 0.5, err.rot_deg
-    assert float(np.max(err.trans_m)) < 5e-3, err.trans_m
+    # scene-ICP's NN associations are discontinuous in their inputs, so
+    # psum-reduction fp noise can flip a few associations; parity is
+    # sub-0.3-degree / sub-2-cm rather than bitwise
+    assert float(np.max(err.rot_deg)) < 0.3, err.rot_deg
+    assert float(np.max(err.trans_m)) < 2e-2, err.trans_m
