@@ -117,7 +117,9 @@ class SyncConfig:
     # r2_scene8_diag_ovl.json: good >= 0.65, bad <= 0.59) where the
     # learned confidence saturates at 0.99 on both.
     overlap_gate: bool = True
-    overlap_floor: float = 0.3  # scores at/below this gate to zero
+    # Floor re-tuned for the soft hinge proximity score (pose_verify):
+    # aligned poses land ~0.4-0.9, aliased/junk ~0.05-0.25.
+    overlap_floor: float = 0.15  # scores at/below this gate to zero
     overlap_power: float = 2.0  # sharpness of the ramp above the floor
     # Scene-level Jacobi ICP polish of the synced ABSOLUTE poses
     # (sync/refine.py): fixes the translation drift that survives the

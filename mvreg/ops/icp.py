@@ -34,8 +34,13 @@ def _nn_3d(x: Array, y: Array, y_mask: Array) -> tuple[Array, Array]:
     """
     x2 = jnp.sum(x * x, axis=-1, keepdims=True)  # (K, 1)
     y2 = jnp.sum(y * y, axis=-1)  # (V,)
+    # Precision.HIGHEST: TPU default-precision matmuls multiply in
+    # bf16, whose ~0.4% relative error on the |x|^2-scale Gram terms
+    # swamps d^2 at the ~10 cm association gates (the chip-vs-CPU
+    # accuracy gap of round 2). These matmuls are tiny next to the UNet.
     d2 = x2 + y2[None, :] - 2.0 * jnp.dot(
-        x, y.T, preferred_element_type=jnp.float32
+        x, y.T, preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     )
     d2 = jnp.where(y_mask[None, :], d2, jnp.inf)
     idx = jnp.argmin(d2, axis=-1).astype(jnp.int32)

@@ -20,10 +20,18 @@ BIG = 1e30
 
 
 def pairwise_sqdist(fa: Array, fb: Array) -> Array:
-    """Squared L2 distances (Na, Nb) = |a|² + |b|² - 2 a·bᵀ (one GEMM)."""
+    """Squared L2 distances (Na, Nb) = |a|² + |b|² - 2 a·bᵀ (one GEMM).
+
+    Precision.HIGHEST: TPU default precision multiplies in bf16 —
+    ~0.4% relative noise on the Gram terms flips NN argmins between
+    close descriptors and was part of the round-2 chip-vs-CPU accuracy
+    gap. The 6-pass f32 GEMM costs ~6x on a stage that is <10% of the
+    pipeline (runs/results/r2_stage_mfu.json).
+    """
     a2 = jnp.sum(fa * fa, axis=-1, keepdims=True)
     b2 = jnp.sum(fb * fb, axis=-1, keepdims=True)
-    ab = jnp.dot(fa, fb.T, preferred_element_type=jnp.float32)
+    ab = jnp.dot(fa, fb.T, preferred_element_type=jnp.float32,
+                 precision=jax.lax.Precision.HIGHEST)
     return jnp.maximum(a2 - 2.0 * ab + b2.T, 0.0)
 
 

@@ -30,16 +30,27 @@ Array = jax.Array
 def _frac_close(
     x: Array, x_mask: Array, y: Array, y_mask: Array, tau: float
 ) -> Array:
-    """Fraction of valid x within tau of some valid y (min over (K,V))."""
+    """Soft proximity score: mean over valid x of hinge(1 − d_NN/τ).
+
+    The hinge (instead of a hard d<τ count) keeps the alias/junk
+    discrimination (anything beyond τ contributes 0) while ranking
+    good poses by *precision* — a hard count at τ=10 cm scored a
+    0.5 cm-accurate pose and a 10 cm-off pose identically, letting the
+    selection pick the worse candidate on clean pairs.
+    """
     x2 = jnp.sum(x * x, axis=-1, keepdims=True)
     y2 = jnp.sum(y * y, axis=-1)
+    # Precision.HIGHEST: see ops/icp.py — bf16-multiply Gram terms
+    # swamp d^2 at the tau gates on TPU.
     d2 = x2 + y2[None, :] - 2.0 * jnp.dot(
-        x, y.T, preferred_element_type=jnp.float32
+        x, y.T, preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     )
     d2 = jnp.where(y_mask[None, :], d2, jnp.inf)
-    close = (jnp.min(d2, axis=-1) < tau * tau) & x_mask.astype(bool)
+    d = jnp.sqrt(jnp.maximum(jnp.min(d2, axis=-1), 0.0))
+    prox = jnp.maximum(1.0 - d / tau, 0.0) * x_mask.astype(jnp.float32)
     n = jnp.maximum(jnp.sum(x_mask.astype(jnp.float32)), 1.0)
-    return jnp.sum(close.astype(jnp.float32)) / n
+    return jnp.sum(prox) / n
 
 
 def overlap_score(
@@ -105,9 +116,17 @@ def ransac_overlap_candidate(
             * jnp.einsum(
                 "cni,vi->cnv", moved, yv,
                 preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
             )
         )
         d2 = jnp.where(yv_mask[None, None, :], d2, jnp.inf)
+        # HARD count here, unlike the soft final-selection score: a
+        # 3-point hypothesis from noisy true inliers is sloppy (~2 deg,
+        # cm-dm residuals) — the hard count still credits it for
+        # covering the whole cloud loosely, where a soft precision
+        # score would prefer an EXACT structured alias (floor-to-floor
+        # lattice alignment). Winners get ICP-polished before the soft
+        # selection ranks them.
         close = (jnp.min(d2, axis=-1) < tau * tau) & xv_mask[None, :]
         return jnp.sum(close.astype(jnp.float32), axis=-1) / nv
 

@@ -30,7 +30,10 @@ Array = jax.Array
 
 def pairwise_dist(x: Array) -> Array:
     """(K, 3) -> (K, K) Euclidean distances (one Gram matmul)."""
-    g = jnp.dot(x, x.T, preferred_element_type=jnp.float32)
+    # Precision.HIGHEST: see ops/icp.py — the compatibility kernel
+    # compares |dx - dy| against sigma ~ 5 cm; bf16 Gram noise is larger.
+    g = jnp.dot(x, x.T, preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)
     sq = jnp.diagonal(g)
     d2 = sq[:, None] + sq[None, :] - 2.0 * g
     return jnp.sqrt(jnp.maximum(d2, 0.0))

@@ -35,7 +35,7 @@ from jax import shard_map
 from mvreg.parallel.mesh import EDGE_AXIS
 from mvreg.sync.irls import (
     SyncResult,
-    consistency_residuals,
+    consistency_residuals_split,
     rotation_sync_from_laplacian,
     translation_solve,
 )
@@ -59,6 +59,7 @@ def sync_body_local(
     num_iters: int,
     cauchy_b: float,
     trans_scale: float,
+    cauchy_b_trans: float = 0.15,
 ):
     """Edge-local IRLS sync body for use INSIDE a shard_map over EDGE_AXIS.
 
@@ -80,15 +81,34 @@ def sync_body_local(
         )
         return L, Lt, csum / num_edges
 
+    def _tsolve(c_l, R_nodes):
+        Lt_part = graph_laplacian(eidx_l, c_l, n_nodes)
+        b_part = translation_rhs(eidx_l, R_nodes, t_l, c_l, n_nodes)
+        csum_part = jnp.sum(jnp.abs(c_l))
+        Lt, b, csum = jax.lax.psum(
+            (Lt_part, b_part, csum_part), EDGE_AXIS
+        )
+        return translation_solve(Lt, b, csum / num_edges)
+
     def step(c_l, _):
         L, Lt, c_scale = assemble(c_l)
         R_nodes = rotation_sync_from_laplacian(L, n_nodes)
         b_part = translation_rhs(eidx_l, R_nodes, t_l, c_l, n_nodes)
         b = jax.lax.psum(b_part, EDGE_AXIS)
         t_nodes = translation_solve(Lt, b, c_scale)
-        r_l = consistency_residuals(
+        # second translation pass with translation-specific robust
+        # weights (mirrors sync/irls.synchronize exactly — slid-alias
+        # edges have good rotation but poisoned translation)
+        _, r_tr = consistency_residuals_split(
             eidx_l, R_l, t_l, R_nodes, t_nodes, trans_scale
         )
+        c_tr = c0_l / (1.0 + (r_tr / cauchy_b_trans) ** 2)
+        c_tr = c_tr * (c_l > 0)
+        t_nodes = _tsolve(c_tr, R_nodes)
+        r_rot, r_tr = consistency_residuals_split(
+            eidx_l, R_l, t_l, R_nodes, t_nodes, trans_scale
+        )
+        r_l = r_rot + r_tr
         c_new = c0_l / (1.0 + (r_l / cauchy_b) ** 2)
         return c_new, (R_nodes, t_nodes, r_l)
 
