@@ -56,22 +56,37 @@ def _run(ckpt_dir, steps, resume=False, kill_after=None):
     ]
     if resume:
         cmd.append("--resume")
+    out_path = os.path.join(str(ckpt_dir) + "_child.log")
+    out_fh = open(out_path, "wb")
     proc = subprocess.Popen(
         cmd, env=_child_env(), cwd=REPO,
-        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        stdout=out_fh, stderr=subprocess.STDOUT,
     )
     if kill_after is None:
-        out, _ = proc.communicate(timeout=900)
-        return proc.returncode, out
+        proc.wait(timeout=900)
+        out_fh.close()
+        with open(out_path, errors="replace") as fh:
+            return proc.returncode, fh.read()
     # Wait until at least one checkpoint exists, then SIGKILL (preemption).
-    # Progress-keyed deadline: as long as the child keeps emitting stdout
-    # (step logs at --log-every 1), keep waiting; only 300 s of *silence*
-    # (or 1800 s total on a fully loaded box) fails the test.
-    os.set_blocking(proc.stdout.fileno(), False)
+    # Progress-keyed deadline: as long as the child accumulates CPU time
+    # (compiling or stepping), keep waiting; only 300 s of a fully idle
+    # child (or 1800 s total) fails the test.
+
+    def _cpu_jiffies():
+        try:
+            with open(f"/proc/{proc.pid}/stat") as fh:
+                f = fh.read().rsplit(")", 1)[1].split()
+            return int(f[11]) + int(f[12])  # utime + stime
+        except OSError:
+            return -1
+
     hard_deadline = time.time() + 1800
     last_progress = time.time()
+    last_cpu = _cpu_jiffies()
     while time.time() < hard_deadline:
-        if proc.stdout.read():
+        cpu = _cpu_jiffies()
+        if cpu != last_cpu:
+            last_cpu = cpu
             last_progress = time.time()
         steps_done = [
             d for d in (os.listdir(ckpt_dir) if os.path.isdir(ckpt_dir) else [])
@@ -90,6 +105,7 @@ def _run(ckpt_dir, steps, resume=False, kill_after=None):
         raise AssertionError("no checkpoint appeared before hard deadline")
     os.kill(proc.pid, signal.SIGKILL)
     proc.wait(timeout=60)
+    out_fh.close()
     return -9, ""
 
 
