@@ -110,6 +110,12 @@ class FilterConfig:
 class SyncConfig:
     num_iters: int = 4
     cauchy_b: float = 0.5
+    # Tighter Cauchy scale (meters / trans_scale) for the translation
+    # solve's own robust weights (sync/irls.py second translation pass):
+    # correct-rotation / lattice-slid alias edges keep moderate weight
+    # under the combined residual and poison only the translation LS.
+    # THE tuned parameter of the round-2 translation fix.
+    cauchy_b_trans: float = 0.15
     confidence_threshold: float = 0.3  # prune edges below
     # Cloud-overlap gate on the sync init weights: the verifier score
     # (PairResult.overlap) separates correct from aliased/junk poses
@@ -121,6 +127,13 @@ class SyncConfig:
     # aligned poses land ~0.4-0.9, aliased/junk ~0.05-0.25.
     overlap_floor: float = 0.15  # scores at/below this gate to zero
     overlap_power: float = 2.0  # sharpness of the ramp above the floor
+    # Global pose-graph Gauss-Newton over the verified correspondences
+    # (sync/pose_gn.py): one joint damped-GN solve over all N node poses
+    # — the fix for COLLECTIVE translation warp that per-edge sync and
+    # per-node scene-ICP cannot see (round-2 diagnosis). 0 = off.
+    pose_gn_iters: int = 6
+    pose_gn_scale: float = 0.05  # Cauchy scale on ||r||, meters
+    pose_gn_damping: float = 1e-3  # Levenberg factor (relative)
     # Scene-level Jacobi ICP polish of the synced ABSOLUTE poses
     # (sync/refine.py): fixes the translation drift that survives the
     # graph solve. 0 = off.

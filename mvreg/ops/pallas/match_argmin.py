@@ -38,20 +38,26 @@ def _argmin_kernel(a_ref, b_ref, bbias_ref, min_ref, idx_ref, *, tn: int):
     scores = -2.0 * jnp.dot(
         a, b.T, preferred_element_type=jnp.float32
     ) + bbias_ref[:]  # (TM, TN) + (1, TN) broadcast
-    tile_min = jnp.min(scores, axis=1)  # (TM,)
-    tile_arg = jnp.argmin(scores, axis=1).astype(jnp.int32) + j * tn
+    # Row-tile outputs live as (1, TM/128, 128) blocks: Mosaic requires
+    # the last two block dims to be (sublane, lane) tile-able — a flat
+    # (1, TM) block is not (measured on-chip failure, r3_matchmb_chip).
+    shp = min_ref.shape  # (1, TM // 128, 128)
+    tile_min = jnp.min(scores, axis=1).reshape(shp)
+    tile_arg = (
+        jnp.argmin(scores, axis=1).astype(jnp.int32) + j * tn
+    ).reshape(shp)
 
     @pl.when(j == 0)
     def _():
-        min_ref[:] = tile_min[None, :]
-        idx_ref[:] = tile_arg[None, :]
+        min_ref[:] = tile_min
+        idx_ref[:] = tile_arg
 
     @pl.when(j > 0)
     def _():
         cur = min_ref[:]
-        take = tile_min[None, :] < cur
-        min_ref[:] = jnp.where(take, tile_min[None, :], cur)
-        idx_ref[:] = jnp.where(take, tile_arg[None, :], idx_ref[:])
+        take = tile_min < cur
+        min_ref[:] = jnp.where(take, tile_min, cur)
+        idx_ref[:] = jnp.where(take, tile_arg, idx_ref[:])
 
 
 def _pad_to(x: Array, n: int, axis: int, value=0) -> Array:
@@ -82,8 +88,10 @@ def nn_match_pallas(
     """
     Na, D = fa.shape
     Nb = fb.shape[0]
+    assert tile_m % 128 == 0, "tile_m must be a multiple of 128 (lanes)"
     R = pl.cdiv(Na, tile_m)
     C = pl.cdiv(Nb, tile_n)
+    TML = tile_m // 128
     fa_p = _pad_to(fa.astype(jnp.float32), R * tile_m, 0)
     fb_p = _pad_to(fb.astype(jnp.float32), C * tile_n, 0)
     b2 = jnp.sum(fb * fb, axis=-1).astype(jnp.float32)
@@ -107,15 +115,17 @@ def nn_match_pallas(
         ],
         out_specs=[
             pl.BlockSpec(
-                (1, tile_m), lambda i, j: (i, 0), memory_space=pltpu.VMEM
+                (1, TML, 128), lambda i, j: (i, 0, 0),
+                memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, tile_m), lambda i, j: (i, 0), memory_space=pltpu.VMEM
+                (1, TML, 128), lambda i, j: (i, 0, 0),
+                memory_space=pltpu.VMEM,
             ),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((R, tile_m), jnp.float32),
-            jax.ShapeDtypeStruct((R, tile_m), jnp.int32),
+            jax.ShapeDtypeStruct((R, TML, 128), jnp.float32),
+            jax.ShapeDtypeStruct((R, TML, 128), jnp.int32),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),

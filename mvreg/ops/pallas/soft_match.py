@@ -47,24 +47,30 @@ def _soft_kernel(a_ref, b_ref, bbias_ref, pos_ref, m_ref, l_ref, acc_ref,
         - bbias_ref[:]
     ) * inv_tau  # (TM, TN)
     tile_max = jnp.max(s, axis=1)  # (TM,)
+    # m/l row accumulators live as (1, TM/128, 128) blocks (Mosaic's
+    # (sublane, lane) tiling rule — a flat (1, TM) block fails to lower
+    # on chip, r3_matchmb_chip) and are reshaped to (TM,) for compute.
+    shp = m_ref.shape
 
     @pl.when(j == 0)
     def _():
-        m_ref[:] = tile_max[None, :]
+        m_ref[:] = tile_max.reshape(shp)
         p = jnp.exp(s - tile_max[:, None])
-        l_ref[:] = jnp.sum(p, axis=1)[None, :]
+        l_ref[:] = jnp.sum(p, axis=1).reshape(shp)
         acc_ref[:] = jnp.dot(
             p, pos_ref[:], preferred_element_type=jnp.float32
         )
 
     @pl.when(j > 0)
     def _():
-        m_old = m_ref[0, :]
+        m_old = m_ref[:].reshape(-1)  # (TM,)
         m_new = jnp.maximum(m_old, tile_max)
         alpha = jnp.exp(m_old - m_new)  # (TM,)
         p = jnp.exp(s - m_new[:, None])  # (TM, TN)
-        m_ref[:] = m_new[None, :]
-        l_ref[:] = (l_ref[0, :] * alpha + jnp.sum(p, axis=1))[None, :]
+        m_ref[:] = m_new.reshape(shp)
+        l_ref[:] = (
+            l_ref[:].reshape(-1) * alpha + jnp.sum(p, axis=1)
+        ).reshape(shp)
         acc_ref[:] = acc_ref[:] * alpha[:, None] + jnp.dot(
             p, pos_ref[:], preferred_element_type=jnp.float32
         )
@@ -89,8 +95,10 @@ def _soft_match_fwd_impl(
 ):
     Na, D = fa.shape
     Nb = fb.shape[0]
+    assert tile_m % 128 == 0, "tile_m must be a multiple of 128 (lanes)"
     R = pl.cdiv(Na, tile_m)
     C = pl.cdiv(Nb, tile_n)
+    TML = tile_m // 128
     fa_p = _pad_to(fa.astype(jnp.float32), R * tile_m, 0)
     fb_p = _pad_to(fb.astype(jnp.float32), C * tile_n, 0)
     b2 = jnp.sum(fb * fb, axis=-1).astype(jnp.float32)
@@ -116,16 +124,16 @@ def _soft_match_fwd_impl(
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, tile_m), lambda i, j: (i, 0),
+            pl.BlockSpec((1, TML, 128), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile_m), lambda i, j: (i, 0),
+            pl.BlockSpec((1, TML, 128), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((tile_m, VLANES), lambda i, j: (i, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((R, tile_m), jnp.float32),
-            jax.ShapeDtypeStruct((R, tile_m), jnp.float32),
+            jax.ShapeDtypeStruct((R, TML, 128), jnp.float32),
+            jax.ShapeDtypeStruct((R, TML, 128), jnp.float32),
             jax.ShapeDtypeStruct((R * tile_m, VLANES), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(

@@ -131,6 +131,7 @@ def register_scene_sharded(
             eidx_l, pairs_l.R, pairs_l.t, c_init_l,
             n_nodes=N, num_edges=E, num_iters=cfg.sync.num_iters,
             cauchy_b=cfg.sync.cauchy_b, trans_scale=cfg.sync.trans_scale,
+            cauchy_b_trans=cfg.sync.cauchy_b_trans,
         )
         for _ in range(cfg.sync.refine_iters):
             i, j = eidx_l[:, 0], eidx_l[:, 1]
@@ -157,7 +158,26 @@ def register_scene_sharded(
                 n_nodes=N, num_edges=E, num_iters=cfg.sync.num_iters,
                 cauchy_b=cfg.sync.cauchy_b,
                 trans_scale=cfg.sync.trans_scale,
+                cauchy_b_trans=cfg.sync.cauchy_b_trans,
             )
+        if cfg.sync.pose_gn_iters > 0:
+            from mvreg.sync.irls import SyncResult as _SR
+            from mvreg.sync.pose_gn import pose_graph_gn
+
+            # Edge-sharded global GN: partial (H, g) from the local edge
+            # shard, psum over EDGE_AXIS, replicated solve — exact
+            # parity with pipeline.sync_with_refine (tested).
+            gn = pose_graph_gn(
+                eidx_l, pairs_l.x, pairs_l.y,
+                (pairs_l.weights + 1e-3) * pairs_l.corr_mask,
+                w_l, _SR(R=R_nodes, t=t_nodes, weights=w_l,
+                         residuals=r_l),
+                num_iters=cfg.sync.pose_gn_iters,
+                scale=cfg.sync.pose_gn_scale,
+                damping=cfg.sync.pose_gn_damping,
+                axis_name=EDGE_AXIS, num_nodes=N,
+            )
+            R_nodes, t_nodes = gn.R, gn.t
         return pairs_l, (R_nodes, t_nodes), w_l, r_l
 
     eidx_dev = jax.device_put(

@@ -123,6 +123,7 @@ def make_sync_fn(
     num_iters: int = 4,
     cauchy_b: float = 0.5,
     trans_scale: float = 1.0,
+    cauchy_b_trans: float = 0.15,
 ):
     """Build the jitted edge-sharded sync over `mesh`.
 
@@ -150,6 +151,7 @@ def make_sync_fn(
             eidx_l, R_l, t_l, c0_l,
             n_nodes=n_nodes, num_edges=E, num_iters=num_iters,
             cauchy_b=cauchy_b, trans_scale=trans_scale,
+            cauchy_b_trans=cauchy_b_trans,
         )
 
     return jax.jit(_run)
@@ -165,6 +167,7 @@ def synchronize_sharded(
     num_iters: int = 4,
     cauchy_b: float = 0.5,
     trans_scale: float = 1.0,
+    cauchy_b_trans: float = 0.15,
 ) -> SyncResult:
     """Single-controller convenience wrapper: place + run the sharded sync.
 
@@ -172,7 +175,8 @@ def synchronize_sharded(
     divisible by the edge-axis size.
     """
     fn = make_sync_fn(
-        mesh, n_nodes, edge_idx.shape[0], num_iters, cauchy_b, trans_scale
+        mesh, n_nodes, edge_idx.shape[0], num_iters, cauchy_b, trans_scale,
+        cauchy_b_trans,
     )
     sharding = NamedSharding(mesh, P(EDGE_AXIS))
     args = [

@@ -461,6 +461,7 @@ def sync_with_refine(
         edge_idx, pairs.R, pairs.t, c_init, n_nodes=n_nodes,
         num_iters=cfg.sync.num_iters, cauchy_b=cfg.sync.cauchy_b,
         trans_scale=cfg.sync.trans_scale,
+        cauchy_b_trans=cfg.sync.cauchy_b_trans,
     )
     for _ in range(cfg.sync.refine_iters):
         i, j = edge_idx[:, 0], edge_idx[:, 1]
@@ -483,6 +484,21 @@ def sync_with_refine(
             edge_idx, pairs.R, pairs.t, jnp.maximum(sync.weights, 1e-3 * c_init),
             n_nodes=n_nodes, num_iters=cfg.sync.num_iters,
             cauchy_b=cfg.sync.cauchy_b, trans_scale=cfg.sync.trans_scale,
+            cauchy_b_trans=cfg.sync.cauchy_b_trans,
+        )
+    if cfg.sync.pose_gn_iters > 0:
+        from mvreg.sync.pose_gn import pose_graph_gn
+
+        # Joint GN over all verified correspondences: long/mid-range
+        # edges act as loop closures, correcting the collective warp
+        # (sync weights gate out pruned/aliased edges).
+        sync = pose_graph_gn(
+            edge_idx, pairs.x, pairs.y,
+            (pairs.weights + 1e-3) * pairs.corr_mask,
+            sync.weights, sync,
+            num_iters=cfg.sync.pose_gn_iters,
+            scale=cfg.sync.pose_gn_scale,
+            damping=cfg.sync.pose_gn_damping,
         )
     if desc is not None and cfg.sync.scene_icp_rounds > 0:
         from mvreg.sync.refine import scene_icp_refine

@@ -319,6 +319,7 @@ def sync_loss_fn(
         lambda R, t, c: synchronize(
             edge_idx, R, t, c, n_nodes=N, num_iters=cfg.sync.num_iters,
             cauchy_b=cfg.sync.cauchy_b, trans_scale=cfg.sync.trans_scale,
+            cauchy_b_trans=cfg.sync.cauchy_b_trans,
         )
     )(R_e.reshape(B, E, 3, 3), t_e.reshape(B, E, 3), c_init)
 

@@ -148,6 +148,7 @@ def worker(args) -> None:
             mesh, n_nodes=N, num_edges=E_pad,
             num_iters=cfg.sync.num_iters, cauchy_b=cfg.sync.cauchy_b,
             trans_scale=cfg.sync.trans_scale,
+            cauchy_b_trans=cfg.sync.cauchy_b_trans,
         )
         R_nodes, t_nodes, _, _ = sync_fn(g_eidx, g_R, g_t, g_c)
         R_n = np.asarray(jax.device_get(R_nodes))
