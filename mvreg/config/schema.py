@@ -48,7 +48,7 @@ class ModelConfig:
     # sparse_conv schedule: fused|taps|einsum|dense|auto ("auto" picks
     # dense on accelerators with small grids, else fused — see
     # models/fcgf.py::resolve_conv_impl for the measured rule)
-    conv_impl: str = "fused"  # fused|taps|einsum|dense|pallas|auto
+    conv_impl: str = "fused"  # fused|taps|einsum|dense|pallas|pallas2|auto
     pointnet_k: int = 32
     pointnet_radius: float = 0.3
 
@@ -132,7 +132,13 @@ class SyncConfig:
     # — the fix for COLLECTIVE translation warp that per-edge sync and
     # per-node scene-ICP cannot see (round-2 diagnosis). 0 = off.
     pose_gn_iters: int = 6
-    pose_gn_scale: float = 0.05  # Cauchy scale on ||r||, meters
+    pose_gn_scale: float = 0.05  # final Cauchy scale on ||r||, meters
+    # Graduated non-convexity: anneal the Cauchy scale geometrically
+    # from pose_gn_scale_start down to pose_gn_scale. Default equal
+    # (constant scale): the annealed variant measured WORSE at 30
+    # fragments (41.8% vs 44.6% trans@75cm, r3_mv30_v4_gnc.json) — the
+    # wide early basin lets collectively-slid alias translations pull.
+    pose_gn_scale_start: float = 0.05
     pose_gn_damping: float = 1e-3  # Levenberg factor (relative)
     # Scene-level Jacobi ICP polish of the synced ABSOLUTE poses
     # (sync/refine.py): fixes the translation drift that survives the
@@ -161,10 +167,19 @@ class TrainConfig:
     shift_min: float = 0.5
     shift_max: float = 0.5
     negative_fraction: float = 0.0
+    # Synthetic world generation for TRAINING streams ("v1"|"v2"; eval
+    # benchmarks stay v1 for cross-round comparability — see
+    # data/synthetic.sample_world_surface).
+    world_richness: str = "v1"
     # Sync stage: backprop into the descriptor through differentiable
     # soft-argmax matching (the reference trains end-to-end through SVD
     # and eigh — SURVEY.md §0; hard NN matching blocks those gradients).
     sync_train_descriptor: bool = False
+    # Final-update scale for the descriptor subtree (per-group lr that
+    # keeps the opt_state pytree unchanged): the e2e sync stage needs
+    # the descriptor 10-100x slower than the sync head or it collapses
+    # (round-2 v5; VERDICT item 6).
+    descriptor_lr_scale: float = 1.0
 
 
 @dataclass(frozen=True)

@@ -30,6 +30,7 @@ def synthetic_pair_batch(
     noise: float = 0.005,
     shift_range: tuple[float, float] = (0.5, 0.5),
     negative_fraction: float = 0.0,
+    richness: str = "v1",
 ) -> PairBatch:
     """Build a PairBatch of synthetic fragment pairs.
 
@@ -62,13 +63,13 @@ def synthetic_pair_batch(
             scene = synthetic.make_scene(
                 seed * 10007 + b, num_fragments=2,
                 points_per_fragment=points_per_fragment, noise=noise,
-                centers_override=np.stack([c0, c1]),
+                centers_override=np.stack([c0, c1]), richness=richness,
             )
         else:
             shift = float(r.uniform(*shift_range))
             scene = synthetic.make_pair(
                 seed * 10007 + b, points_per_fragment, noise,
-                overlap_shift=shift,
+                overlap_shift=shift, richness=richness,
             )
         pts[b] = scene.points
         msk[b] = scene.mask
@@ -87,6 +88,7 @@ def synthetic_pair_stream(
     pool_pairs: int = 0,
     shift_range: tuple[float, float] = (0.5, 0.5),
     negative_fraction: float = 0.0,
+    richness: str = "v1",
 ):
     """Generator of PairBatches (deterministic in seed).
 
@@ -101,7 +103,7 @@ def synthetic_pair_stream(
         while True:
             yield synthetic_pair_batch(
                 seed + step, batch_size, points_per_fragment, noise,
-                shift_range, negative_fraction,
+                shift_range, negative_fraction, richness,
             )
             step += 1
         return
@@ -110,7 +112,7 @@ def synthetic_pair_stream(
     pool = [
         synthetic_pair_batch(
             seed + k, batch_size, points_per_fragment, noise,
-            shift_range, negative_fraction,
+            shift_range, negative_fraction, richness,
         )
         for k in range(n_batches)
     ]

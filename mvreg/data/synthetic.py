@@ -55,12 +55,19 @@ def sample_world_surface(
     rng: np.random.Generator,
     num_points: int = 200_000,
     extent: float = 4.0,
+    richness: str = "v1",
 ) -> np.ndarray:
     """Sample a structured indoor-ish surface: multi-frequency floor
     heightfield, two walls, and scattered boxes/spheres. Deliberately
     geometry-rich — descriptors can only localize on distinctive
     structure, and a bland floor is globally self-similar (the contrastive
     loss then floors out on impossible lookalike negatives).
+
+    richness="v2" (training-stream only; benchmarks stay "v1" for
+    cross-round continuity): twice the objects, freely ROTATED boxes,
+    cylinders, and tilted plane panels — more distinctive local
+    geometry per crop and less axis-aligned self-similarity, targeting
+    the 0.05-0.25 putative-inlier-rate bottleneck (VERDICT item 8).
     Returns (num_points, 3) float32."""
     parts = []
     n_floor = num_points // 3
@@ -87,23 +94,41 @@ def sample_world_surface(
         parts.append(pts)
 
     n_obj = num_points - n_floor - 2 * n_wall
-    n_each = max(n_obj // 12, 1)
-    for _ in range(12):
+    n_kinds = 12 if richness == "v1" else 24
+    n_each = max(n_obj // n_kinds, 1)
+    for _ in range(n_kinds):
         c = np.array(
             [rng.uniform(0.5, extent - 0.5), rng.uniform(0.5, extent - 0.5),
              rng.uniform(0.2, 0.8)]
         )
-        if rng.random() < 0.5:  # sphere shell
+        kind = rng.random()
+        if kind < 0.5 and richness == "v1" or kind < 0.3:  # sphere shell
             r = rng.uniform(0.08, 0.35)
             d = rng.normal(size=(n_each, 3))
             d /= np.linalg.norm(d, axis=-1, keepdims=True)
             parts.append(c + r * d)
-        else:  # axis-aligned box shell
+        elif richness == "v1" or kind < 0.6:  # box shell
             half = rng.uniform(0.08, 0.35, size=3)
             face = rng.integers(0, 6, size=n_each)
             p = rng.uniform(-1, 1, size=(n_each, 3)) * half
             ax, sign = face % 3, np.where(face < 3, 1.0, -1.0)
             p[np.arange(n_each), ax] = sign * half[ax]
+            if richness == "v2":  # freely rotated (breaks axis aliasing)
+                p = p @ _random_rotation(rng)[0].T
+            parts.append(c + p)
+        elif kind < 0.85:  # cylinder shell (v2)
+            r = rng.uniform(0.06, 0.25)
+            h = rng.uniform(0.2, 0.9)
+            th = rng.uniform(0, 2 * np.pi, size=n_each)
+            z = rng.uniform(-0.5, 0.5, size=n_each) * h
+            p = np.column_stack([r * np.cos(th), r * np.sin(th), z])
+            p = p @ _random_rotation(rng)[0].T
+            parts.append(c + p)
+        else:  # tilted plane panel (v2)
+            a = rng.uniform(0.2, 0.7, size=2)
+            uv = rng.uniform(-0.5, 0.5, size=(n_each, 2)) * a
+            p = np.column_stack([uv, 0.01 * rng.normal(size=n_each)])
+            p = p @ _random_rotation(rng)[0].T
             parts.append(c + p)
 
     pts = np.concatenate(parts)[:num_points].astype(np.float32)
@@ -121,6 +146,7 @@ def make_scene(
     min_overlap_shift: float = 0.6,
     rotation_mode: str = "gravity",
     centers_override: np.ndarray | None = None,
+    richness: str = "v1",
 ) -> Scene:
     """Generate a scene of partially-overlapping fragments with GT poses.
 
@@ -135,7 +161,7 @@ def make_scene(
     building zero-overlap negatives need explicit placement).
     """
     rng = np.random.default_rng(seed)
-    world = sample_world_surface(rng, world_points, extent)
+    world = sample_world_surface(rng, world_points, extent, richness)
 
     if centers_override is not None:
         centers = np.asarray(centers_override, float).reshape(
@@ -211,6 +237,7 @@ def make_pair(
     noise: float = 0.005,
     overlap_shift: float = 0.5,
     rotation_mode: str = "gravity",
+    richness: str = "v1",
 ) -> Scene:
     """Two-fragment scene (the 3DMatch-style pairwise training unit)."""
     return make_scene(
@@ -220,4 +247,5 @@ def make_pair(
         noise=noise,
         min_overlap_shift=overlap_shift,
         rotation_mode=rotation_mode,
+        richness=richness,
     )

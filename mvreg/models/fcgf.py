@@ -128,6 +128,11 @@ def build_unet_plan(
         return UNetPlan(masks, kmaps, pools, counts, grids)
     if lookup == "hash":
         from mvreg.ops.hash_table import kernel_map_hashed as kmap_fn
+    elif lookup == "symjoin":
+        # half the sort-join work via +/- offset symmetry (odd kernels)
+        kmap_fn = (
+            vx.kernel_map_sym if kernel_size % 2 == 1 else vx.kernel_map
+        )
     elif lookup in ("sortjoin", "searchsorted"):
         kmap_fn = vx.kernel_map
     else:

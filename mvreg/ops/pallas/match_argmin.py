@@ -28,15 +28,21 @@ Array = jax.Array
 BIG = jnp.float32(1e30)
 
 
-def _argmin_kernel(a_ref, b_ref, bbias_ref, min_ref, idx_ref, *, tn: int):
+def _argmin_kernel(
+    a_ref, b_ref, bbias_ref, min_ref, idx_ref, *, tn: int, precision
+):
     j = pl.program_id(1)
     a = a_ref[:]  # (TM, D)
     b = b_ref[:]  # (TN, D)
     # scores = ||a||^2 - 2 a.b + ||b||^2; drop the row-constant ||a||^2
     # (doesn't change the argmin; the true sqdist is reconstructed by the
     # wrapper). bbias carries ||b||^2 + BIG * (1 - valid).
+    # precision: MXU pass count. DEFAULT truncates f32 to bf16 (one
+    # pass) — measured 0.7% argmin flips vs the HIGHEST-precision XLA
+    # path on near-tie descriptors (r3_matchmb2_chip.json); HIGHEST
+    # matches it bit-for-bit at ~6x MXU passes on <10% of kernel time.
     scores = -2.0 * jnp.dot(
-        a, b.T, preferred_element_type=jnp.float32
+        a, b.T, preferred_element_type=jnp.float32, precision=precision
     ) + bbias_ref[:]  # (TM, TN) + (1, TN) broadcast
     # Row-tile outputs live as (1, TM/128, 128) blocks: Mosaic requires
     # the last two block dims to be (sublane, lane) tile-able — a flat
@@ -70,7 +76,7 @@ def _pad_to(x: Array, n: int, axis: int, value=0) -> Array:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("tile_m", "tile_n", "interpret")
+    jax.jit, static_argnames=("tile_m", "tile_n", "interpret", "precision")
 )
 def nn_match_pallas(
     fa: Array,
@@ -80,6 +86,7 @@ def nn_match_pallas(
     tile_m: int = 256,
     tile_n: int = 512,
     interpret: bool = False,
+    precision: str = "highest",
 ) -> tuple[Array, Array]:
     """Masked NN match a->b. Returns (idx (Na,), sqdist (Na,)).
 
@@ -98,9 +105,14 @@ def nn_match_pallas(
     bbias = jnp.where(mask_b.astype(bool), b2, BIG)
     bbias = _pad_to(bbias, C * tile_n, 0, value=BIG)[None, :]  # (1, NbP)
 
+    prec = {
+        "default": jax.lax.Precision.DEFAULT,
+        "high": jax.lax.Precision.HIGH,
+        "highest": jax.lax.Precision.HIGHEST,
+    }[precision]
     grid = (R, C)
     out_min, out_idx = pl.pallas_call(
-        functools.partial(_argmin_kernel, tn=tile_n),
+        functools.partial(_argmin_kernel, tn=tile_n, precision=prec),
         grid=grid,
         in_specs=[
             pl.BlockSpec(

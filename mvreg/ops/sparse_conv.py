@@ -63,6 +63,15 @@ def sparse_conv(
             interpret=jax.default_backend() == "cpu",
             accum_dtype=accum_dtype,
         )
+    if impl == "pallas2":
+        # Transposed lane-gather schedule — the one whose gather Mosaic
+        # can actually lower on this toolchain (see r3_mosaic_probe).
+        from mvreg.ops.pallas.sparse_conv_lane import sparse_conv_lane
+
+        return sparse_conv_lane(
+            feats, kmap, weights, out_mask,
+            interpret=jax.default_backend() == "cpu",
+        )
     if impl == "taps":
         def tap(k, acc):
             idx = kmap[k]

@@ -218,6 +218,50 @@ def kernel_map(grid_keys: Array, grid_mask: Array, offsets: Array) -> Array:
     return lookup(grid_keys, nkeys)
 
 
+def kernel_map_sym(
+    grid_keys: Array, grid_mask: Array, offsets: Array
+) -> Array:
+    """kernel_map exploiting ± offset symmetry: half the sort work.
+
+    The cubic offset list (neighbor_offsets ordering) satisfies
+    offsets[K-1-k] == -offsets[k], and the map for -off is the partial
+    inverse permutation of the map for +off (u is v's +off neighbor
+    iff v is u's -off neighbor; coords are unique so the inverse is a
+    collision-free scatter). So: sort-join only the first K//2 offsets
+    (the dominant cost of plan building — the on-chip profile puts
+    voxelize+kmaps at 34% of the whole pipeline step,
+    r3_stages_taps.json), derive the rest with V-element scatters, and
+    the center offset is the identity.
+    """
+    K = offsets.shape[0]
+    half = K // 2
+    V = grid_keys.shape[0]
+    coords = unpack_coords(grid_keys)
+    ncoords = coords[None, :, :] + offsets[:half, None, :]
+    in_grid = jnp.all((ncoords >= 0) & (ncoords < GRID_SIZE), axis=-1)
+    ok = in_grid & grid_mask[None, :]
+    nkeys = jnp.where(
+        ok, pack_coords(jnp.clip(ncoords, 0, GRID_SIZE - 1)), SENTINEL
+    )
+    fwd = lookup(grid_keys, nkeys)  # (half, V)
+
+    iota = jnp.arange(V, dtype=jnp.int32)
+
+    def inv(km):
+        valid = km >= 0
+        tgt = jnp.where(valid, km, V)  # invalid rows land in a dump slot
+        return (
+            jnp.full((V + 1,), -1, jnp.int32)
+            .at[tgt].set(jnp.where(valid, iota, -1))[:V]
+        )
+
+    bwd = jax.vmap(inv)(fwd)  # maps for -offsets, reversed order
+    center = jnp.where(grid_mask, iota, -1)
+    return jnp.concatenate(
+        [fwd, center[None], bwd[::-1]], axis=0
+    )
+
+
 class PoolMap(NamedTuple):
     """Fine->coarse stride-2 relationship between two voxel levels.
 

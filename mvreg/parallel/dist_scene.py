@@ -170,10 +170,11 @@ def register_scene_sharded(
             gn = pose_graph_gn(
                 eidx_l, pairs_l.x, pairs_l.y,
                 (pairs_l.weights + 1e-3) * pairs_l.corr_mask,
-                w_l, _SR(R=R_nodes, t=t_nodes, weights=w_l,
-                         residuals=r_l),
+                w_l,
+                _SR(R=R_nodes, t=t_nodes, weights=w_l, residuals=r_l),
                 num_iters=cfg.sync.pose_gn_iters,
                 scale=cfg.sync.pose_gn_scale,
+                scale_start=cfg.sync.pose_gn_scale_start,
                 damping=cfg.sync.pose_gn_damping,
                 axis_name=EDGE_AXIS, num_nodes=N,
             )

@@ -490,14 +490,19 @@ def sync_with_refine(
         from mvreg.sync.pose_gn import pose_graph_gn
 
         # Joint GN over all verified correspondences: long/mid-range
-        # edges act as loop closures, correcting the collective warp
-        # (sync weights gate out pruned/aliased edges).
+        # edges act as loop closures, correcting the collective warp.
+        # Edge gate: the final IRLS weights alone. (An overlap-gated
+        # floor was tried and hurt — lattice-slid alias edges score
+        # HIGH on cloud overlap by construction, so the floor re-admits
+        # exactly the poison; r3_mv30_v4_gnc.json vs r3_mv30_v4_gn.json.)
+        w_edge = sync.weights
         sync = pose_graph_gn(
             edge_idx, pairs.x, pairs.y,
             (pairs.weights + 1e-3) * pairs.corr_mask,
-            sync.weights, sync,
+            w_edge, sync,
             num_iters=cfg.sync.pose_gn_iters,
             scale=cfg.sync.pose_gn_scale,
+            scale_start=cfg.sync.pose_gn_scale_start,
             damping=cfg.sync.pose_gn_damping,
         )
     if desc is not None and cfg.sync.scene_icp_rounds > 0:

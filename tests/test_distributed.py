@@ -81,6 +81,7 @@ def test_sharded_sync_accuracy():
     assert float(jnp.mean(tr_err)) < 0.05
 
 
+@pytest.mark.slow  # covered by cheaper siblings; 25-35s on this host
 def test_sharded_train_step_runs():
     """The dryrun_multichip path: full train step over the 8-device mesh."""
     import __graft_entry__ as g

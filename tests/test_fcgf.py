@@ -1,6 +1,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from mvreg.models.fcgf import FCGF, build_unet_plan
 
@@ -123,6 +124,7 @@ def test_resolve_conv_impl_auto():
     assert plan_lookup(cfg.model, cfg.voxel) == cfg.voxel.lookup
 
 
+@pytest.mark.slow  # covered by cheaper siblings; 25-35s on this host
 def test_pipeline_auto_conv_impl_end_to_end():
     """The pipeline builds and runs with model.conv_impl='auto'."""
     from mvreg.config.schema import PipelineConfig, override

@@ -142,7 +142,7 @@ def test_impl_variants_agree():
     W = jnp.asarray(rng.normal(size=(K, Cin, Cout)) * 0.1, jnp.float32)
     mask = jnp.asarray(rng.random(V) < 0.9)
     ref = sparse_conv(feats, kmap, W, mask, impl="fused")
-    for impl in ("taps", "einsum", "pallas"):
+    for impl in ("taps", "einsum", "pallas", "pallas2"):
         out = sparse_conv(feats, kmap, W, mask, impl=impl)
         np.testing.assert_allclose(
             np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-5

@@ -185,3 +185,47 @@ def test_checkpoint_opt_state_contract():
     tx = make_optimizer(PipelineConfig())
     state = tx.init({"w": jnp.zeros((2, 2))})
     assert len(state) == 2  # (clip_by_global_norm, adam)
+
+
+def test_descriptor_lr_scale_freezes_and_scales(cfg, batch):
+    """descriptor_lr_scale=0 pins the descriptor subtree exactly while
+    other heads still move (the per-group-lr mechanism of the e2e sync
+    protocol, VERDICT round-2 item 6); the opt_state pytree is unchanged
+    so existing checkpoints keep restoring."""
+    cfg0 = override(cfg, **{"train.descriptor_lr_scale": 0.0})
+    state = create_train_state(jax.random.PRNGKey(5), cfg0)
+    step = make_train_step(cfg0, stage="joint")
+    new_state, _ = step(state, batch)
+    d0 = jax.tree_util.tree_leaves(state.params["fcgf"])
+    d1 = jax.tree_util.tree_leaves(new_state.params["fcgf"])
+    for a, b in zip(d0, d1):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    f0 = jax.tree_util.tree_leaves(state.params["filter"])
+    f1 = jax.tree_util.tree_leaves(new_state.params["filter"])
+    assert any(
+        float(jnp.max(jnp.abs(a - b))) > 0 for a, b in zip(f0, f1)
+    )
+    # same opt_state structure as the default config (checkpoint compat)
+    s_def = create_train_state(jax.random.PRNGKey(5), cfg)
+    assert (
+        jax.tree_util.tree_structure(s_def.opt_state)
+        == jax.tree_util.tree_structure(state.opt_state)
+    )
+
+
+def test_sync_stage_freezes_bn_stats(cfg, batch):
+    """The sync stage must not update BatchNorm running stats (tiny
+    scene batches corrupt them — round-2 v5 collapse ingredient)."""
+    from mvreg.data.batching import synthetic_scene_batch
+
+    cfg_s = override(cfg, **{"train.sync_train_descriptor": True,
+                             "train.batch_pairs": 1})
+    state = create_train_state(jax.random.PRNGKey(6), cfg_s)
+    sbatch = synthetic_scene_batch(0, 1, num_fragments=3,
+                                   points_per_fragment=512)
+    step = make_train_step(cfg_s, stage="sync")
+    new_state, _ = step(state, sbatch)
+    s0 = jax.tree_util.tree_leaves(state.batch_stats["fcgf"])
+    s1 = jax.tree_util.tree_leaves(new_state.batch_stats["fcgf"])
+    for a, b in zip(s0, s1):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -147,3 +147,17 @@ def test_voxelize_empty_input():
     assert not bool(grid.mask.any())
     assert not bool(grid.point_mask.any())
     assert np.isfinite(np.asarray(grid.origin)).all()
+
+
+def test_kernel_map_sym_matches_kernel_map():
+    """The symmetric builder (half sort-joins + scatter inverses) must
+    reproduce kernel_map exactly, including padded/masked slots."""
+    for seed, ks in ((0, 3), (1, 3), (2, 5)):
+        key = jax.random.PRNGKey(seed)
+        pts = jax.random.uniform(key, (500, 3), minval=0.0, maxval=1.0)
+        pm = jax.random.uniform(jax.random.PRNGKey(seed + 9), (500,)) < 0.9
+        g = vx.voxelize(pts, pm, 0.08, 256)
+        offs = vx.neighbor_offsets(ks)
+        ref = vx.kernel_map(g.keys, g.mask, offs)
+        sym = vx.kernel_map_sym(g.keys, g.mask, offs)
+        np.testing.assert_array_equal(np.asarray(sym), np.asarray(ref))
