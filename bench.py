@@ -60,6 +60,10 @@ CFG_OVERRIDES = {
     # 27-way-unrolled HLO has blown the compile budget (>1000 s) on at
     # least one run — the official bench must never risk the timeout.
     "model.conv_impl": os.environ.get("MVREG_CONV_IMPL", "fused"),
+    # Kernel-map lookup backend A/B (voxelize+plan was 34% of the step
+    # on chip, r3_stages_taps.json): "symjoin" halves the sort-join work
+    # via +/- offset symmetry.
+    "voxel.lookup": os.environ.get("MVREG_LOOKUP", "sortjoin"),
     "voxel.dense_grid": [112, 112, 112],
 }
 
