@@ -235,6 +235,10 @@ def kernel_map_sym(
     """
     K = offsets.shape[0]
     half = K // 2
+    assert int(jnp.abs(offsets[half]).max()) == 0, (
+        "kernel_map_sym requires a symmetric offset list with the zero "
+        "offset at the center (odd kernel sizes)"
+    )
     V = grid_keys.shape[0]
     coords = unpack_coords(grid_keys)
     ncoords = coords[None, :, :] + offsets[:half, None, :]

@@ -46,3 +46,7 @@ MVREG_BENCH_PAIRS=16 MVREG_CONV_IMPL=taps MVREG_LOOKUP=symjoin \
 echo "rc=$? $(date)"; tail -1 "$R/r3_bench_p16_taps_sym.log"
 
 echo "=== r3 queue4 done $(date) ==="
+
+echo "--- [7/7] gather scaling probe (brick-conv decision) ---"
+timeout 1800 python scripts/gather_scaling_probe.py > "$R/r3_gather_probe.log" 2>&1
+echo "rc=$? $(date)"; grep gather "$R/r3_gather_probe.log" | head -6

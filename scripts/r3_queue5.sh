@@ -16,13 +16,27 @@ timeout 5400 python scripts/benchmark_pairwise.py --scenes 8 --fragments 8 \
   --json-out "$R/r3_recall_full8.json" > "$R/r3_recall_full8.log" 2>&1
 echo "rc=$? $(date)"; tail -4 "$R/r3_recall_full8.log"
 
-echo "--- [2/3] mv30 with the best checkpoint (confirmation) ---"
+echo "--- [2a/4] GN on/off ablation: mv8 ---"
+timeout 2400 python scripts/benchmark_multiview.py --scenes 2 --fragments 8 \
+  --points 6144 --ckpt "$CK" --set "match.num_corr=2048" \
+  --set "sync.pose_gn_iters=0" \
+  --json-out "$R/r3_mv8_final_nogn.json" > "$R/r3_mv8_final_nogn.log" 2>&1
+echo "rc=$? $(date)"; grep -E "median|mean rot" "$R/r3_mv8_final_nogn.log" | tail -2
+
+echo "--- [2b/4] mv30 with the best checkpoint (GN on) ---"
 timeout 3600 python scripts/benchmark_multiview.py --scenes 2 --fragments 30 \
   --points 6144 --ckpt "$CK" --set "match.num_corr=2048" \
   --json-out "$R/r3_mv30_final.json" > "$R/r3_mv30_final.log" 2>&1
 echo "rc=$? $(date)"; grep -E "median|ECDF|translation" "$R/r3_mv30_final.log" | tail -3
 
-echo "--- [3/3] official bench at shipped defaults ---"
+echo "--- [2c/4] mv30 GN off ---"
+timeout 3000 python scripts/benchmark_multiview.py --scenes 2 --fragments 30 \
+  --points 6144 --ckpt "$CK" --set "match.num_corr=2048" \
+  --set "sync.pose_gn_iters=0" \
+  --json-out "$R/r3_mv30_final_nogn.json" > "$R/r3_mv30_final_nogn.log" 2>&1
+echo "rc=$? $(date)"; grep -E "median|ECDF|translation" "$R/r3_mv30_final_nogn.log" | tail -3
+
+echo "--- [4/4] official bench at shipped defaults ---"
 timeout 3600 python bench.py > "$R/r3_bench_official.log" 2>&1
 echo "rc=$? $(date)"; tail -1 "$R/r3_bench_official.log"
 
