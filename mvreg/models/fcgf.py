@@ -92,9 +92,14 @@ def resolve_conv_impl(model_cfg, voxel_cfg, backend: str | None = None) -> str:
 
 def plan_lookup(model_cfg, voxel_cfg) -> str:
     """Neighbor-lookup backend implied by the configured conv schedule:
-    the dense-grid schedule needs no kernel/pool maps at all."""
+    the dense-grid schedule needs no kernel/pool maps at all; the brick
+    schedule builds brick tables instead of voxel-level kernel maps."""
     impl = resolve_conv_impl(model_cfg, voxel_cfg)
-    return "dense" if impl == "dense" else voxel_cfg.lookup
+    if impl == "dense":
+        return "dense"
+    if impl == "brick":
+        return "brick"
+    return voxel_cfg.lookup
 
 
 def build_unet_plan(
@@ -123,6 +128,37 @@ def build_unet_plan(
             return (g.mask,), (), (), (g.num_voxels,), (g,)
 
         masks, kmaps, pools, counts, grids = jax.vmap(one_fragment_dense)(
+            points, point_mask
+        )
+        return UNetPlan(masks, kmaps, pools, counts, grids)
+    if lookup == "brick":
+        # Brick (block-sparse) plan: per-level brick tables replace the
+        # voxel-level kernel maps entirely (ops/brick.py).
+        from mvreg.ops.brick import build_brick_plan
+
+        def one_fragment_brick(pts, pm):
+            grids, pools = [], []
+            g = vx.voxelize(pts, pm, voxel_size, capacities[0])
+            grids.append(g)
+            for l in range(1, levels):
+                g, pool = vx.coarsen(g, capacities[l])
+                grids.append(g)
+                pools.append(pool)
+            bplans = [
+                build_brick_plan(
+                    g.keys, g.coords, g.mask,
+                    brick_cap=max(capacities[l] // 4, 64),
+                )
+                for l, g in enumerate(grids)
+            ]
+            masks = [g.mask for g in grids]
+            counts = [g.num_voxels for g in grids]
+            return (
+                tuple(masks), tuple(bplans), tuple(pools),
+                tuple(counts), tuple(grids),
+            )
+
+        masks, kmaps, pools, counts, grids = jax.vmap(one_fragment_brick)(
             points, point_mask
         )
         return UNetPlan(masks, kmaps, pools, counts, grids)

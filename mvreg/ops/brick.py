@@ -1,0 +1,166 @@
+"""Brick (block-sparse) execution plan for the sparse voxel conv.
+
+Third conv schedule, designed from the on-chip evidence of rounds 2-3:
+
+  * XLA's row gather is the sparse UNet's bottleneck (~1% MFU,
+    r3_stages_taps.json) and Mosaic's dynamic gather is broken on this
+    toolchain in both directions (r3_mosaic_probe*.log), so the
+    gather-GEMM schedules cannot be fixed with a Pallas kernel here.
+  * Gather cost scales with the number of gathered ROWS far more than
+    with bytes (r3_gather_probe.log), and the kernel-map sort-joins are
+    a third of the whole pipeline step.
+
+The brick plan exploits the geometry: occupied voxels cluster on 2-D
+surfaces, so group the voxel grid into 4x4x4 BRICKS and keep the ~V/8
+occupied bricks dense. Per 3^3 conv:
+
+    scatter V voxel rows into (Bc, 64, C) brick cells        [V rows]
+    gather the 27 neighbor bricks per brick                  [27*Bc rows]
+    assemble the 6^3 halo window, one dense batched
+      lax.conv_general_dilated (VALID) -> (Bc, 4,4,4, Cout)  [pure MXU]
+    gather the V output rows back                            [V rows]
+
+vs the taps schedule's 27*V gathered rows: ~7x fewer rows, paying a
+~4-6x dense-FLOP expansion that the idle MXU absorbs. The kernel map
+disappears entirely — the plan needs one sort-join over BRICK keys
+(28x smaller than the voxel-level join) per level.
+
+Semantics identical to ops.sparse_conv.sparse_conv on the same voxel
+set (missing neighbors contribute zeros; ~out_mask rows zeroed), up to
+fp summation order. MinkowskiEngine counterpart: SURVEY.md §2.3/C2.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from mvreg.ops import voxel as vx
+
+Array = jax.Array
+
+BRICK = 4  # voxels per brick edge
+CELLS = BRICK**3
+
+
+class BrickPlan(NamedTuple):
+    """Brick decomposition of one voxel level (static capacity Bc).
+
+    voxel_slot: (V,) int32 — brick_slot * 64 + cell_id for valid voxels,
+                Bc * 64 (dump row) otherwise.
+    neighbors:  (27, Bc) int32 — brick slot of brick_coord + offset_k
+                (dx-major order, voxel.neighbor_offsets(3)), or -1.
+    brick_mask: (Bc,) bool.
+    """
+
+    voxel_slot: Array
+    neighbors: Array
+    brick_mask: Array
+
+
+def build_brick_plan(
+    keys: Array, coords: Array, mask: Array, brick_cap: int
+) -> BrickPlan:
+    """Build the brick tables for one voxel level.
+
+    keys (V,) sorted packed voxel keys (SENTINEL-padded), coords (V, 3),
+    mask (V,). Voxels in bricks beyond `brick_cap` are dropped (their
+    rows land in the dump slot) — size capacity generously (~V/4; real
+    fragments occupy 8-16 cells per surface brick).
+    """
+    V = keys.shape[0]
+    bcoords = coords >> 2
+    bkeys = jnp.where(mask, vx.pack_coords(bcoords), vx.SENTINEL)
+
+    # unique brick keys with static capacity (the voxelize/coarsen sort
+    # pattern: keys are already voxel-sorted so brick keys are sorted
+    # too — but argsort anyway to stay robust to any key order).
+    order = jnp.argsort(bkeys)
+    sk = bkeys[order]
+    first = jnp.concatenate(
+        [jnp.ones((1,), bool), sk[1:] != sk[:-1]]
+    ) & (sk != vx.SENTINEL)
+    rank = jnp.cumsum(first.astype(jnp.int32)) - 1
+    keep = first & (rank < brick_cap)
+    slot = jnp.where(keep, rank, brick_cap)
+    brick_keys = jnp.full(
+        (brick_cap + 1,), vx.SENTINEL, jnp.int32
+    ).at[slot].min(jnp.where(keep, sk, vx.SENTINEL))[:brick_cap]
+    brick_mask = brick_keys != vx.SENTINEL
+
+    in_cap = (sk != vx.SENTINEL) & (rank < brick_cap)
+    bslot_sorted = jnp.where(in_cap, jnp.minimum(rank, brick_cap - 1), -1)
+    bslot = jnp.full((V,), -1, jnp.int32).at[order].set(bslot_sorted)
+
+    cell = coords & (BRICK - 1)
+    cell_id = cell[:, 0] * 16 + cell[:, 1] * 4 + cell[:, 2]
+    valid = mask & (bslot >= 0)
+    voxel_slot = jnp.where(
+        valid, bslot * CELLS + cell_id, brick_cap * CELLS
+    ).astype(jnp.int32)
+
+    # neighbor bricks: one (symmetric) sort-join over the brick keys —
+    # 28x smaller than the voxel-level kernel map it replaces.
+    neighbors = vx.kernel_map_sym(
+        brick_keys, brick_mask, vx.neighbor_offsets(3)
+    )
+    return BrickPlan(
+        voxel_slot=voxel_slot, neighbors=neighbors, brick_mask=brick_mask
+    )
+
+
+# per-axis (cell_start, size, window_start) of a neighbor brick's
+# overlap with the central brick's 6^3 halo window (absolute cube
+# coords [3, 9) of the 3-brick 12-cube)
+_SLABS = {0: (3, 1, 0), 1: (0, 4, 1), 2: (0, 1, 5)}
+
+
+def sparse_conv_brick(
+    feats: Array,
+    plan: BrickPlan,
+    weights: Array,
+    out_mask: Array,
+    *,
+    accum_dtype=jnp.float32,
+) -> Array:
+    """Brick-dense sparse conv: feats (V, Cin) -> (V, Cout).
+
+    weights (27, Cin, Cout) in the dx-major order of
+    voxel.neighbor_offsets(3) (the ops.sparse_conv convention).
+    """
+    V, Cin = feats.shape
+    Cout = weights.shape[-1]
+    Bc = plan.brick_mask.shape[0]
+    cdt = weights.dtype
+
+    cells = jnp.zeros((Bc * CELLS + 1, Cin), cdt)
+    cells = cells.at[plan.voxel_slot].set(feats.astype(cdt))
+    bricks = cells[: Bc * CELLS].reshape(Bc, BRICK, BRICK, BRICK, Cin)
+
+    win = jnp.zeros((Bc, 6, 6, 6, Cin), cdt)
+    for k in range(27):
+        dx, dy, dz = k // 9, (k // 3) % 3, k % 3
+        nb = plan.neighbors[k]  # (Bc,)
+        src = bricks[jnp.maximum(nb, 0)]  # (Bc, 4,4,4, Cin)
+        src = src * (nb >= 0)[:, None, None, None, None].astype(cdt)
+        (cx, sx, wx) = _SLABS[dx]
+        (cy, sy, wy) = _SLABS[dy]
+        (cz, sz, wz) = _SLABS[dz]
+        win = win.at[
+            :, wx : wx + sx, wy : wy + sy, wz : wz + sz
+        ].set(src[:, cx : cx + sx, cy : cy + sy, cz : cz + sz])
+
+    w = weights.astype(cdt).reshape(3, 3, 3, Cin, Cout)
+    out = jax.lax.conv_general_dilated(
+        win, w, window_strides=(1, 1, 1), padding="VALID",
+        dimension_numbers=("NXYZC", "XYZIO", "NXYZC"),
+        preferred_element_type=accum_dtype,
+    )  # (Bc, 4, 4, 4, Cout)
+    flat = jnp.concatenate(
+        [out.reshape(Bc * CELLS, Cout),
+         jnp.zeros((1, Cout), out.dtype)], axis=0
+    )
+    res = flat[plan.voxel_slot]
+    return (res * out_mask[:, None]).astype(feats.dtype)

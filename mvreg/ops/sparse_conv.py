@@ -53,6 +53,13 @@ def sparse_conv(
                feature table VMEM-resident, per-tap Mosaic dynamic_gather
                + MXU GEMM, no K-expanded intermediate in HBM.
     """
+    if impl == "brick":
+        # kmap is a BrickPlan here (plan built with lookup="brick").
+        from mvreg.ops.brick import sparse_conv_brick
+
+        return sparse_conv_brick(
+            feats, kmap, weights, out_mask, accum_dtype=accum_dtype
+        )
     K, V = kmap.shape
     Cin = feats.shape[-1]
     if impl == "pallas":

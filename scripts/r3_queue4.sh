@@ -50,3 +50,14 @@ echo "=== r3 queue4 done $(date) ==="
 echo "--- [7/7] gather scaling probe (brick-conv decision) ---"
 timeout 1800 python scripts/gather_scaling_probe.py > "$R/r3_gather_probe.log" 2>&1
 echo "rc=$? $(date)"; grep gather "$R/r3_gather_probe.log" | head -6
+
+echo "--- [8/9] stage profile: BRICK schedule ---"
+timeout 2400 python scripts/profile_stages.py --pairs 8 --reps 3 \
+  --set "model.conv_impl='brick'" \
+  --json-out "$R/r3_stages_brick.json" > "$R/r3_stages_brick.log" 2>&1
+echo "rc=$? $(date)"; grep -E "1_voxelize|2_unet|7_edges|sum_of" "$R/r3_stages_brick.log" | head -4
+
+echo "--- [9/9] bench: brick schedule, pairs=8 ---"
+MVREG_BENCH_PAIRS=8 MVREG_CONV_IMPL=brick timeout 3600 python bench.py \
+  > "$R/r3_bench_p8_brick.log" 2>&1
+echo "rc=$? $(date)"; tail -1 "$R/r3_bench_p8_brick.log"
