@@ -194,22 +194,26 @@ def test_descriptor_lr_scale_freezes_and_scales(cfg, batch):
     so existing checkpoints keep restoring."""
     cfg0 = override(cfg, **{"train.descriptor_lr_scale": 0.0})
     state = create_train_state(jax.random.PRNGKey(5), cfg0)
-    step = make_train_step(cfg0, stage="joint")
-    new_state, _ = step(state, batch)
-    d0 = jax.tree_util.tree_leaves(state.params["fcgf"])
-    d1 = jax.tree_util.tree_leaves(new_state.params["fcgf"])
-    for a, b in zip(d0, d1):
-        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
-    f0 = jax.tree_util.tree_leaves(state.params["filter"])
-    f1 = jax.tree_util.tree_leaves(new_state.params["filter"])
-    assert any(
-        float(jnp.max(jnp.abs(a - b))) > 0 for a, b in zip(f0, f1)
-    )
     # same opt_state structure as the default config (checkpoint compat)
     s_def = create_train_state(jax.random.PRNGKey(5), cfg)
     assert (
         jax.tree_util.tree_structure(s_def.opt_state)
         == jax.tree_util.tree_structure(state.opt_state)
+    )
+    # the train step donates its input state: snapshot before stepping
+    d0 = [np.asarray(a) for a in
+          jax.tree_util.tree_leaves(state.params["fcgf"])]
+    f0 = [np.asarray(a) for a in
+          jax.tree_util.tree_leaves(state.params["filter"])]
+    step = make_train_step(cfg0, stage="joint")
+    new_state, _ = step(state, batch)
+    d1 = jax.tree_util.tree_leaves(new_state.params["fcgf"])
+    f1 = jax.tree_util.tree_leaves(new_state.params["filter"])
+    for a, b in zip(d0, d1):
+        np.testing.assert_array_equal(a, np.asarray(b))
+    assert any(
+        float(np.max(np.abs(a - np.asarray(b)))) > 0
+        for a, b in zip(f0, f1)
     )
 
 
@@ -223,9 +227,11 @@ def test_sync_stage_freezes_bn_stats(cfg, batch):
     state = create_train_state(jax.random.PRNGKey(6), cfg_s)
     sbatch = synthetic_scene_batch(0, 1, num_fragments=3,
                                    points_per_fragment=512)
+    # donated input state: snapshot BN stats before stepping
+    s0 = [np.asarray(a) for a in
+          jax.tree_util.tree_leaves(state.batch_stats["fcgf"])]
     step = make_train_step(cfg_s, stage="sync")
     new_state, _ = step(state, sbatch)
-    s0 = jax.tree_util.tree_leaves(state.batch_stats["fcgf"])
     s1 = jax.tree_util.tree_leaves(new_state.batch_stats["fcgf"])
     for a, b in zip(s0, s1):
-        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        np.testing.assert_array_equal(a, np.asarray(b))
