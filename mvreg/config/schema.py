@@ -60,7 +60,11 @@ class ModelConfig:
 class MatchConfig:
     num_corr: int = 1024  # putative correspondences per pair
     mutual: bool = True
-    backend: str = "xla"  # NN-match backend: "xla" | "pallas"
+    # NN-match backend: "auto" = the Pallas streaming kernel on TPU
+    # (measured 1.27x XLA at bit-exact HIGHEST precision, 5.1x at bf16;
+    # runs/results/r3_match_sweep2.json), chunked XLA elsewhere
+    # (interpret-mode Pallas is test-ware on CPU).
+    backend: str = "auto"  # "auto" | "xla" | "pallas"
     soft_temperature: float = 0.02
     irls_iters: int = 3  # robust Procrustes reweighting (RANSAC stand-in)
     irls_scale: float = 0.05  # Cauchy scale, meters

@@ -84,7 +84,7 @@ def nn_match_pallas(
     fb: Array,
     mask_b: Array,
     tile_m: int = 256,
-    tile_n: int = 512,
+    tile_n: int = 2048,
     interpret: bool = False,
     precision: str = "highest",
 ) -> tuple[Array, Array]:

@@ -235,10 +235,10 @@ def kernel_map_sym(
     """
     K = offsets.shape[0]
     half = K // 2
-    assert int(jnp.abs(offsets[half]).max()) == 0, (
-        "kernel_map_sym requires a symmetric offset list with the zero "
-        "offset at the center (odd kernel sizes)"
-    )
+    # Requires a negation-symmetric offset list with the zero offset at
+    # the center — true of neighbor_offsets(k) for odd k (the only
+    # callers; a value-level assert here would break under jit tracing).
+    assert K % 2 == 1, "kernel_map_sym needs an odd offset count"
     V = grid_keys.shape[0]
     coords = unpack_coords(grid_keys)
     ncoords = coords[None, :, :] + offsets[:half, None, :]

@@ -232,8 +232,14 @@ def register_pair(
     kd, kc, km = desc_i.feats, desc_i.centers, desc_i.mask
     fd, fc, fm = select_keypoints(kd, kc, km, K)
 
+    backend = cfg.match.backend
+    if backend == "auto":
+        # Pallas on real TPU (faster at bit-exact precision); XLA on
+        # CPU, where the Pallas kernels only run in slow interpret mode.
+        backend = "pallas" if jax.default_backend() == "tpu" else "xla"
+
     if use_soft_match:
-        if cfg.match.backend == "pallas":
+        if backend == "pallas":
             from mvreg.ops.pallas.soft_match import soft_match_pallas
 
             y = soft_match_pallas(
@@ -248,7 +254,7 @@ def register_pair(
             )
         corr_mask = fm
     elif cfg.match.mutual:
-        if cfg.match.backend == "pallas":
+        if backend == "pallas":
             from mvreg.ops.pallas.match_argmin import mutual_match_pallas
 
             # interpret on CPU (tests/virtual mesh); compiled on TPU.
@@ -261,7 +267,7 @@ def register_pair(
         y = desc_j.centers[idx]
         corr_mask = fm & mut
     else:
-        if cfg.match.backend == "pallas":
+        if backend == "pallas":
             from mvreg.ops.pallas.match_argmin import nn_match_pallas
 
             idx, _ = nn_match_pallas(

@@ -9,6 +9,12 @@ exec 2>&1
 
 echo "=== r3 queue5 start $(date) ==="
 
+echo "--- [0/6] stage profile: taps + symjoin (rerun after assert fix) ---"
+timeout 2400 python scripts/profile_stages.py --pairs 8 --reps 3 \
+  --set "model.conv_impl='taps'" --set "voxel.lookup='symjoin'" \
+  --json-out "$R/r3_stages_symjoin.json" > "$R/r3_stages_symjoin.log" 2>&1
+echo "rc=$? $(date)"; grep -E "1_voxelize|2_unet|7_edges|sum_of" "$R/r3_stages_symjoin.log" | head -4
+
 echo "--- [1/6] config-3: 8-scene overlap-filtered recall (stand-ins) ---"
 timeout 5400 python scripts/benchmark_pairwise.py --scenes 8 --fragments 8 \
   --points 6144 --ckpt "$CK" --set "match.num_corr=2048" \
