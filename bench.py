@@ -37,9 +37,10 @@ def _mark(msg: str) -> None:
 # Benchmark scale: realistic 3DMatch-like fragments (SURVEY.md §5.7:
 # ~10^5 points -> ~10^4 voxels at 2.5 cm).
 POINTS = 16384
-# 8 fragments per step by default; MVREG_BENCH_PAIRS A/Bs the batch
-# scale (the CPU-baseline cache is invalidated on scale mismatch).
-BATCH_PAIRS = int(os.environ.get("MVREG_BENCH_PAIRS", "4"))
+# 16 fragments (8 pairs) per step by default — measured round-3 winner;
+# MVREG_BENCH_PAIRS A/Bs the batch scale (the CPU-baseline cache is
+# re-measured per scale).
+BATCH_PAIRS = int(os.environ.get("MVREG_BENCH_PAIRS", "8"))
 SCAN_ITERS = 5  # chained steps per dispatch (steady-state protocol)
 CFG_OVERRIDES = {
     "voxel.capacities": [8192, 4096, 2048, 1024],
@@ -54,16 +55,15 @@ CFG_OVERRIDES = {
     "filter.blocks_after": 2,
     "model.compute_dtype": "bfloat16",  # MXU fast path (f32 CPU baseline
     # kept: each backend runs its best practical precision)
-    # Conv schedule A/B hook: MVREG_CONV_IMPL overrides. Default stays
-    # "fused": it reliably compiles in ~170 s through the remote-compile
-    # relay; "taps" measured 12% faster steady-state in round 1 but its
-    # 27-way-unrolled HLO has blown the compile budget (>1000 s) on at
-    # least one run — the official bench must never risk the timeout.
-    "model.conv_impl": os.environ.get("MVREG_CONV_IMPL", "fused"),
+    # Conv schedule A/B hook: MVREG_CONV_IMPL overrides. Round-3
+    # default "taps": compiled reliably in 3/3 chip runs this round
+    # (~80 s over fused) and is the measured pipeline winner among the
+    # gather-GEMM schedules; see RESULTS.md for the brick-schedule A/B.
+    "model.conv_impl": os.environ.get("MVREG_CONV_IMPL", "taps"),
     # Kernel-map lookup backend A/B (voxelize+plan was 34% of the step
     # on chip, r3_stages_taps.json): "symjoin" halves the sort-join work
-    # via +/- offset symmetry.
-    "voxel.lookup": os.environ.get("MVREG_LOOKUP", "sortjoin"),
+    # via +/- offset symmetry — round-3 default.
+    "voxel.lookup": os.environ.get("MVREG_LOOKUP", "symjoin"),
     "voxel.dense_grid": [112, 112, 112],
 }
 

@@ -124,11 +124,16 @@ def sparse_conv_brick(
     out_mask: Array,
     *,
     accum_dtype=jnp.float32,
+    brick_chunk: int = 512,
 ) -> Array:
     """Brick-dense sparse conv: feats (V, Cin) -> (V, Cout).
 
     weights (27, Cin, Cout) in the dx-major order of
     voxel.neighbor_offsets(3) (the ops.sparse_conv convention).
+    brick_chunk bounds the transient halo-window memory: the 6^3
+    windows + neighbor gathers materialize per chunk of bricks, not for
+    the whole level at once (all-at-once OOM'ed the chip at bench scale
+    inside the 16-fragment vmapped UNet, r3_bench_p8_brick.log).
     """
     V, Cin = feats.shape
     Cout = weights.shape[-1]
@@ -138,28 +143,41 @@ def sparse_conv_brick(
     cells = jnp.zeros((Bc * CELLS + 1, Cin), cdt)
     cells = cells.at[plan.voxel_slot].set(feats.astype(cdt))
     bricks = cells[: Bc * CELLS].reshape(Bc, BRICK, BRICK, BRICK, Cin)
-
-    win = jnp.zeros((Bc, 6, 6, 6, Cin), cdt)
-    for k in range(27):
-        dx, dy, dz = k // 9, (k // 3) % 3, k % 3
-        nb = plan.neighbors[k]  # (Bc,)
-        src = bricks[jnp.maximum(nb, 0)]  # (Bc, 4,4,4, Cin)
-        src = src * (nb >= 0)[:, None, None, None, None].astype(cdt)
-        (cx, sx, wx) = _SLABS[dx]
-        (cy, sy, wy) = _SLABS[dy]
-        (cz, sz, wz) = _SLABS[dz]
-        win = win.at[
-            :, wx : wx + sx, wy : wy + sy, wz : wz + sz
-        ].set(src[:, cx : cx + sx, cy : cy + sy, cz : cz + sz])
-
     w = weights.astype(cdt).reshape(3, 3, 3, Cin, Cout)
-    out = jax.lax.conv_general_dilated(
-        win, w, window_strides=(1, 1, 1), padding="VALID",
-        dimension_numbers=("NXYZC", "XYZIO", "NXYZC"),
-        preferred_element_type=accum_dtype,
-    )  # (Bc, 4, 4, 4, Cout)
+
+    nbT = plan.neighbors.T  # (Bc, 27)
+    CH = min(brick_chunk, Bc)
+    pad = (-Bc) % CH
+    if pad:
+        nbT = jnp.concatenate(
+            [nbT, jnp.full((pad, 27), -1, nbT.dtype)], axis=0
+        )
+    n_chunks = nbT.shape[0] // CH
+
+    def one_chunk(nb_c):  # (CH, 27) -> (CH, 4,4,4, Cout)
+        win = jnp.zeros((CH, 6, 6, 6, Cin), cdt)
+        for k in range(27):
+            dx, dy, dz = k // 9, (k // 3) % 3, k % 3
+            nb = nb_c[:, k]
+            src = bricks[jnp.maximum(nb, 0)]  # (CH, 4,4,4, Cin)
+            src = src * (nb >= 0)[:, None, None, None, None].astype(cdt)
+            (cx, sx, wx) = _SLABS[dx]
+            (cy, sy, wy) = _SLABS[dy]
+            (cz, sz, wz) = _SLABS[dz]
+            win = win.at[
+                :, wx : wx + sx, wy : wy + sy, wz : wz + sz
+            ].set(src[:, cx : cx + sx, cy : cy + sy, cz : cz + sz])
+        return jax.lax.conv_general_dilated(
+            win, w, window_strides=(1, 1, 1), padding="VALID",
+            dimension_numbers=("NXYZC", "XYZIO", "NXYZC"),
+            preferred_element_type=accum_dtype,
+        )
+
+    out = jax.lax.map(
+        one_chunk, nbT.reshape(n_chunks, CH, 27)
+    )  # (n_chunks, CH, 4,4,4, Cout)
     flat = jnp.concatenate(
-        [out.reshape(Bc * CELLS, Cout),
+        [out.reshape((Bc + pad) * CELLS, Cout)[: Bc * CELLS],
          jnp.zeros((1, Cout), out.dtype)], axis=0
     )
     res = flat[plan.voxel_slot]

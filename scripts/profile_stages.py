@@ -49,7 +49,7 @@ def main() -> None:
     from mvreg.core.metrics import transformation_residuals
     from mvreg.core.procrustes import irls_kabsch
     from mvreg.data.synthetic import make_pair
-    from mvreg.models.fcgf import build_unet_plan
+    from mvreg.models.fcgf import build_unet_plan, plan_lookup
     from mvreg.models.filtering import edge_statistics
     from mvreg.ops.knn import mutual_match
     from mvreg.pipeline import (
@@ -80,7 +80,7 @@ def main() -> None:
     # --- stage programs (jitted separately)
     plan_fn = jax.jit(lambda p, m: build_unet_plan(
         p, m, cfg.voxel.voxel_size, cfg.voxel.capacities,
-        cfg.voxel.kernel_size, cfg.voxel.lookup))
+        cfg.voxel.kernel_size, plan_lookup(cfg.model, cfg.voxel)))
     unet_fn = jax.jit(lambda prm, plan: fcgf.apply(
         prm, plan, input_features(plan), train=False))
 

@@ -15,6 +15,12 @@ timeout 2400 python scripts/profile_stages.py --pairs 8 --reps 3 \
   --json-out "$R/r3_stages_symjoin.json" > "$R/r3_stages_symjoin.log" 2>&1
 echo "rc=$? $(date)"; grep -E "1_voxelize|2_unet|7_edges|sum_of" "$R/r3_stages_symjoin.log" | head -4
 
+echo "--- [0b] stage profile: BRICK (rerun after plan_lookup fix) ---"
+timeout 2400 python scripts/profile_stages.py --pairs 8 --reps 3 \
+  --set "model.conv_impl='brick'" \
+  --json-out "$R/r3_stages_brick.json" > "$R/r3_stages_brick.log" 2>&1
+echo "rc=$? $(date)"; grep -E "1_voxelize|2_unet|7_edges|sum_of" "$R/r3_stages_brick.log" | head -4
+
 echo "--- [1/6] config-3: 8-scene overlap-filtered recall (stand-ins) ---"
 timeout 5400 python scripts/benchmark_pairwise.py --scenes 8 --fragments 8 \
   --points 6144 --ckpt "$CK" --set "match.num_corr=2048" \
@@ -46,6 +52,11 @@ timeout 2700 python scripts/benchmark_pairwise.py --scenes 2 --fragments 6 \
   --points 6144 --ckpt runs/synth_v7_presync --set "match.num_corr=2048" \
   --json-out "$R/r3_recall_presync.json" > "$R/r3_recall_presync.log" 2>&1
 echo "rc=$? $(date)"; grep -E "recall" "$R/r3_recall_presync.log" | tail -3
+
+echo "--- [5b] bench: brick schedule retry (chunked windows) ---"
+MVREG_BENCH_PAIRS=8 MVREG_CONV_IMPL=brick timeout 3600 python bench.py \
+  > "$R/r3_bench_p8_brick2.log" 2>&1
+echo "rc=$? $(date)"; tail -1 "$R/r3_bench_p8_brick2.log" | head -c 300; echo
 
 echo "--- [6/6] official bench at shipped defaults ---"
 timeout 3600 python bench.py > "$R/r3_bench_official.log" 2>&1
