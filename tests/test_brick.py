@@ -1,6 +1,7 @@
 """Brick (block-sparse) conv plan: parity with the gather-GEMM conv."""
 
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -80,6 +81,7 @@ def test_brick_capacity_overflow_drops_not_corrupts():
     assert np.asarray(out)[~kept & np.asarray(g.mask)].sum() == 0
 
 
+@pytest.mark.slow  # op-level parity stays in the default tier
 def test_fcgf_brick_matches_fused_end_to_end():
     """Full UNet forward: conv_impl=brick == conv_impl=fused row-for-row
     (same checkpoint format, alternative execution schedule)."""
