@@ -136,9 +136,15 @@ class SyncConfig:
     overlap_power: float = 2.0  # sharpness of the ramp above the floor
     # Global pose-graph Gauss-Newton over the verified correspondences
     # (sync/pose_gn.py): one joint damped-GN solve over all N node poses
-    # — the fix for COLLECTIVE translation warp that per-edge sync and
-    # per-node scene-ICP cannot see (round-2 diagnosis). 0 = off.
-    pose_gn_iters: int = 6
+    # — loop-closure constraints per-edge sync and per-node scene-ICP
+    # cannot see. Default OFF: the round-3 A/B at the v7 checkpoint
+    # shows the IRLS+refine+scene-ICP stack alone is better once the
+    # correspondences are good (mv30 trans@75cm 99.5% off vs 88.7% on;
+    # mv8 mean rot 3.26 vs 4.22 deg — GN optimizes into the 2-3 cm
+    # descriptor-match noise floor; r3_mv{8,30}_v7_nogn.json). Turn on
+    # (4-8 iters) for graphs with large collective drift and weak
+    # local refinement.
+    pose_gn_iters: int = 0
     pose_gn_scale: float = 0.05  # final Cauchy scale on ||r||, meters
     # Graduated non-convexity: anneal the Cauchy scale geometrically
     # from pose_gn_scale_start down to pose_gn_scale. Default equal
