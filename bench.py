@@ -238,7 +238,32 @@ def main():
     import jax
 
     _mark(f"start (backend={jax.default_backend()}, pairs={BATCH_PAIRS})")
-    frag_s, frag_s_e2e, step_flops = measure(reps=3, warmup=1)
+    try:
+        frag_s, frag_s_e2e, step_flops = measure(reps=3, warmup=1)
+    except Exception as e:
+        # The axon TPU worker occasionally comes up poisoned after an
+        # earlier crashed process (INVALID_ARGUMENT on dispatches that
+        # compiled and warmed up fine — observed round 3 after a kernel
+        # fault). A crashed backend taints this whole process, so retry
+        # exactly once in a FRESH process after letting the worker
+        # recover; the child's JSON line passes through as ours.
+        if os.environ.get("MVREG_BENCH_RETRY") == "1":
+            raise
+        _mark(f"measure failed ({type(e).__name__}: {str(e)[:120]}); "
+              "retrying once in a fresh process after 120 s")
+        time.sleep(120)
+        env = dict(os.environ)
+        env["MVREG_BENCH_RETRY"] = "1"
+        out = subprocess.run(
+            [sys.executable, __file__], env=env, timeout=3000,
+            capture_output=True, text=True,
+        )
+        sys.stderr.write(out.stderr)
+        line = [l for l in out.stdout.splitlines() if l.startswith("{")]
+        if not line:
+            raise RuntimeError("bench retry produced no JSON") from e
+        print(line[-1])
+        return
     try:
         base = cpu_baseline()
         _mark("cpu baseline ready")
