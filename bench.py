@@ -64,6 +64,14 @@ CFG_OVERRIDES = {
     # on chip, r3_stages_taps.json): "symjoin" halves the sort-join work
     # via +/- offset symmetry — round-3 default.
     "voxel.lookup": os.environ.get("MVREG_LOOKUP", "symjoin"),
+    # Matching backend pinned to XLA in the OFFICIAL bench: the Pallas
+    # argmin kernel wins standalone (r3_match_sweep2.json) and is the
+    # default on the eval paths, but inside this 5-step chained scan x
+    # 8-pair program it triggers runtime INVALID_ARGUMENT faults on the
+    # axon worker (r3_bench_official*.log — every post-flip bench run
+    # crashed; the identical pre-flip program was fine). Reliability of
+    # the driver-run number wins.
+    "match.backend": os.environ.get("MVREG_MATCH_BACKEND", "xla"),
     "voxel.dense_grid": [112, 112, 112],
 }
 
