@@ -85,6 +85,21 @@ class MatchConfig:
     # hatch from structured outlier cliques that fool both the learned
     # filter and spectral consistency.
     overlap_ransac_hypotheses: int = 512
+    # Stride-subsample of the TARGET voxel table when scoring the H
+    # overlap-RANSAC hypotheses (voxel rows are key-sorted = spatially
+    # x-major, so a stride is a uniform spatial subsample at zero
+    # cost). The full-table scoring materialized (H, Kv, V) f32
+    # distance blocks — ~34 GB of HBM traffic per 8-pair step, the
+    # single largest post-descriptor cost on chip (r3_chainprof.json:
+    # the full edge stack at 126.6 ms vs ~11 ms for all its parts
+    # without the H-hypothesis scorer). Hypothesis RANKING only needs
+    # coarse overlap estimates — winners are ICP-polished and
+    # re-scored on the denser final table before selection.
+    verify_stride_hyp: int = 8  # 8192-row table -> 1024 scoring rows
+    # Stride for the FINAL candidate-selection / edge-overlap score
+    # (select_best_pose, overlap_score): milder, since PairResult.
+    # overlap feeds the sync gate. 4 -> 2048 rows.
+    verify_stride_final: int = 4
     # Point-to-point ICP polish of every pose candidate (ops/icp.py):
     # 0 = off. Each iteration is one (K, V) distance matmul + weighted
     # Kabsch; junk pairs keep their original pose via the inlier gate.

@@ -115,8 +115,17 @@ def voxelize(
     keys = jnp.where(valid, pack_coords(jnp.clip(coords, 0, GRID_SIZE - 1)),
                      SENTINEL)
 
-    order = jnp.argsort(keys)
-    sorted_keys = keys[order]
+    # Sort-only unique extraction: no per-row gathers or scatters
+    # anywhere (TPU row ops cost ~7 ns/row where the sort unit moves
+    # the same data ~50x faster — r3_chainprof.json). argsort+gather
+    # becomes one payload sort; the rank-compaction scatter becomes a
+    # second sort (kept keys are ascending, so sorting the masked key
+    # array IS the compaction); the route-back-to-point-order scatters
+    # become one multi-operand sort on the permutation (sort-based
+    # permutation inversion).
+    iota_p = jnp.arange(P, dtype=jnp.int32)
+    sorted_keys, order = jax.lax.sort([keys, iota_p], num_keys=1,
+                                      is_stable=False)
     first = jnp.concatenate(
         [jnp.ones((1,), bool), sorted_keys[1:] != sorted_keys[:-1]]
     ) & (sorted_keys != SENTINEL)
@@ -126,17 +135,22 @@ def voxelize(
     ).astype(jnp.int32)
 
     keep = first & (rank < capacity)
-    slot = jnp.where(keep, rank, capacity)  # overflow -> dropped row
-    out_keys = jnp.full((capacity + 1,), SENTINEL, jnp.int32).at[slot].min(
-        jnp.where(keep, sorted_keys, SENTINEL)
-    )[:capacity]
+    kept = jnp.where(keep, sorted_keys, SENTINEL)
+    if P < capacity:
+        kept = jnp.concatenate(
+            [kept, jnp.full((capacity - P,), SENTINEL, jnp.int32)]
+        )
+    out_keys = jax.lax.sort(kept)[:capacity]
     vox_mask = out_keys != SENTINEL
 
     # Per-point voxel slot in original order.
     in_capacity = (sorted_keys != SENTINEL) & (rank < capacity)
     p2v_sorted = jnp.where(in_capacity, jnp.minimum(rank, capacity - 1), 0)
-    point2voxel = jnp.zeros((P,), jnp.int32).at[order].set(p2v_sorted)
-    final_pm = jnp.zeros((P,), bool).at[order].set(in_capacity)
+    _, point2voxel, pm_i = jax.lax.sort(
+        [order, p2v_sorted, in_capacity.astype(jnp.int32)],
+        num_keys=1, is_stable=False,
+    )
+    final_pm = pm_i.astype(bool)
 
     return VoxelGrid(
         keys=out_keys,
@@ -171,24 +185,60 @@ def average_pool_points(
 
 
 def lookup(
-    keys_sorted: Array, queries: Array, method: str = "sort"
+    keys_sorted: Array, queries: Array, method: str = "rank"
 ) -> Array:
     """Find indices of `queries` in a sorted, SENTINEL-padded key table.
 
     Returns int32 indices into the table, or -1 where absent.
 
-    method="sort" lowers searchsorted to a concat+sort co-ranking — on
-    TPU this is ~4x faster than the binary-search lowering ("scan"),
-    because random gathers are slow while the sort unit is fast
-    (measured on-chip: 63 ms vs 242 ms for the 8-fragment level-0 kernel
-    map; a gather-probed hash table is slower still at 272 ms).
+    method="rank" (default) is a pure-sort equi-join with ZERO
+    per-row gathers or scatters — the round-3 discovery is that TPU
+    per-row gather/scatter costs ~7 ns/row while the sort unit moves
+    the same rows ~50x faster (runs/results/r3_chainprof.json: the
+    raw 16x114k sort is 0.72 ms where the searchsorted-based L0 join
+    was ~40 ms). Pipeline: one 2-key sort co-ranks [table; queries];
+    a cummax carries the most recent table key forward (arr is
+    ascending, so "last table key at or before p" == the candidate
+    equality partner); a cumsum of the table-row indicator yields that
+    entry's table position; a second sort on the original tags routes
+    results back to query order (sort-based permutation inversion —
+    never `.at[perm].set`).
+
+    method="sort"/"scan" fall back to jnp.searchsorted lowerings
+    (searchsorted's own rank inversion is a P-row scatter, which is
+    what made it slow).
     """
-    pos = jnp.searchsorted(
-        keys_sorted, queries.ravel(), method=method
-    ).astype(jnp.int32).reshape(queries.shape)
-    pos_c = jnp.minimum(pos, keys_sorted.shape[0] - 1)
-    hit = (keys_sorted[pos_c] == queries) & (queries != SENTINEL)
-    return jnp.where(hit, pos_c, -1)
+    if method != "rank":
+        pos = jnp.searchsorted(
+            keys_sorted, queries.ravel(), method=method
+        ).astype(jnp.int32).reshape(queries.shape)
+        pos_c = jnp.minimum(pos, keys_sorted.shape[0] - 1)
+        hit = (keys_sorted[pos_c] == queries) & (queries != SENTINEL)
+        return jnp.where(hit, pos_c, -1)
+
+    V = keys_sorted.shape[0]
+    q = queries.ravel()
+    Q = q.shape[0]
+    arr = jnp.concatenate([keys_sorted, q])
+    tag = jnp.arange(V + Q, dtype=jnp.int32)
+    # 2-key sort: ties broken by tag, so each table entry precedes any
+    # equal queries (tags [0, V) < query tags).
+    arr_s, tag_s = jax.lax.sort([arr, tag], num_keys=2, is_stable=False)
+    is_table = tag_s < V
+    # Table position of the last table entry at/before p. Table rows
+    # appear in ascending key order, so this running count IS that
+    # entry's index in keys_sorted.
+    tpos = jnp.cumsum(is_table.astype(jnp.int32)) - 1
+    lo = jnp.iinfo(jnp.int32).min
+    last_key = jax.lax.associative_scan(
+        jnp.maximum, jnp.where(is_table, arr_s, lo)
+    )
+    match = (~is_table) & (last_key == arr_s) & (arr_s != SENTINEL)
+    res = jnp.where(match, jnp.maximum(tpos, 0), -1)
+    # Route each result back to its query slot: sort by original tag
+    # (tags are unique, so this is exact permutation inversion).
+    _, res_q = jax.lax.sort([tag_s, res], num_keys=1, is_stable=False)
+    return res_q[V:].reshape(queries.shape)
 
 
 def neighbor_offsets(kernel_size: int) -> Array:
@@ -292,8 +342,12 @@ def coarsen(grid: VoxelGrid, capacity: int) -> tuple[VoxelGrid, PoolMap]:
     parent_coords = fine_coords >> 1
     parent_keys = jnp.where(grid.mask, pack_coords(parent_coords), SENTINEL)
 
-    order = jnp.argsort(parent_keys)
-    sk = parent_keys[order]
+    # Sort-only unique extraction + route-back — same zero-row-op
+    # pipeline as voxelize (see the comment there).
+    Vf = grid.keys.shape[0]
+    iota_f = jnp.arange(Vf, dtype=jnp.int32)
+    sk, order = jax.lax.sort([parent_keys, iota_f], num_keys=1,
+                             is_stable=False)
     first = jnp.concatenate([jnp.ones((1,), bool), sk[1:] != sk[:-1]]) & (
         sk != SENTINEL
     )
@@ -301,17 +355,21 @@ def coarsen(grid: VoxelGrid, capacity: int) -> tuple[VoxelGrid, PoolMap]:
     num_unique = jnp.where(jnp.any(sk != SENTINEL), rank[-1] + 1, 0)
 
     keep = first & (rank < capacity)
-    slot = jnp.where(keep, rank, capacity)
-    out_keys = jnp.full((capacity + 1,), SENTINEL, jnp.int32).at[slot].min(
-        jnp.where(keep, sk, SENTINEL)
-    )[:capacity]
+    kept = jnp.where(keep, sk, SENTINEL)
+    if Vf < capacity:
+        kept = jnp.concatenate(
+            [kept, jnp.full((capacity - Vf,), SENTINEL, jnp.int32)]
+        )
+    out_keys = jax.lax.sort(kept)[:capacity]
     vox_mask = out_keys != SENTINEL
 
     in_cap = (sk != SENTINEL) & (rank < capacity)
     p_sorted = jnp.where(in_cap, jnp.minimum(rank, capacity - 1), 0)
-    Vf = grid.keys.shape[0]
-    parent = jnp.zeros((Vf,), jnp.int32).at[order].set(p_sorted)
-    pmask = jnp.zeros((Vf,), bool).at[order].set(in_cap)
+    _, parent, pm_i = jax.lax.sort(
+        [order, p_sorted, in_cap.astype(jnp.int32)],
+        num_keys=1, is_stable=False,
+    )
+    pmask = pm_i.astype(bool)
 
     oct_ = fine_coords & 1
     child_offset = oct_[:, 0] * 4 + oct_[:, 1] * 2 + oct_[:, 2]

@@ -348,6 +348,15 @@ def register_pair(
             x, y, w_spec * (0.2 + 0.8 * w_eff),
             num_iters=cfg.match.irls_iters, scale=cfg.match.irls_scale,
         )
+        # Strided verification tables: voxel rows are key-sorted
+        # (x-major spatial order), so a stride is a uniform spatial
+        # subsample for free. Hypothesis scoring uses the coarse
+        # stride; final selection the denser one (schema: MatchConfig
+        # verify_stride_*; measured on chip the full-table hypothesis
+        # scorer dominated the whole edge program, r3_chainprof.json).
+        sh = max(cfg.match.verify_stride_hyp, 1)
+        sf = max(cfg.match.verify_stride_final, 1)
+        yc_f, ym_f = desc_j.centers[::sf], desc_j.mask[::sf]
         cand_R = [_polish(R, t), _polish(R_s, t_s)]
         if cfg.match.overlap_ransac_hypotheses > 0:
             from mvreg.ops.pose_verify import ransac_overlap_candidate
@@ -356,7 +365,7 @@ def register_pair(
             Kv = min(256, fc.shape[0])
             R_o, t_o = ransac_overlap_candidate(
                 jax.random.PRNGKey(0), x, y, corr_mask,
-                fc[:Kv], fm[:Kv], desc_j.centers, desc_j.mask,
+                fc[:Kv], fm[:Kv], desc_j.centers[::sh], desc_j.mask[::sh],
                 num_hypotheses=cfg.match.overlap_ransac_hypotheses,
                 tau=cfg.match.verify_tau,
             )
@@ -364,16 +373,17 @@ def register_pair(
         R, t, _scores = select_best_pose(
             jnp.stack([c[0] for c in cand_R]),
             jnp.stack([c[1] for c in cand_R]),
-            fc, fm, desc_j.centers, desc_j.mask,
+            fc, fm, yc_f, ym_f,
             tau=cfg.match.verify_tau,
         )
         ov = jnp.max(_scores)
     else:
         from mvreg.ops.pose_verify import overlap_score
 
+        sf = max(cfg.match.verify_stride_final, 1)
         R, t = _polish(R, t)
         ov = overlap_score(
-            R, t, fc, fm, desc_j.centers, desc_j.mask,
+            R, t, fc, fm, desc_j.centers[::sf], desc_j.mask[::sf],
             tau=cfg.match.verify_tau,
         )
     res = transformation_residuals(R, t, x, y)
