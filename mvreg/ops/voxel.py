@@ -228,11 +228,9 @@ def lookup(
     # Table position of the last table entry at/before p. Table rows
     # appear in ascending key order, so this running count IS that
     # entry's index in keys_sorted.
-    tpos = jnp.cumsum(is_table.astype(jnp.int32)) - 1
+    tpos = jax.lax.cumsum(is_table.astype(jnp.int32)) - 1
     lo = jnp.iinfo(jnp.int32).min
-    last_key = jax.lax.associative_scan(
-        jnp.maximum, jnp.where(is_table, arr_s, lo)
-    )
+    last_key = jax.lax.cummax(jnp.where(is_table, arr_s, lo))
     match = (~is_table) & (last_key == arr_s) & (arr_s != SENTINEL)
     res = jnp.where(match, jnp.maximum(tpos, 0), -1)
     # Route each result back to its query slot: sort by original tag

@@ -28,6 +28,16 @@ jax.config.update("jax_platform_name", "cpu")
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# Persistent XLA compile cache across test runs (and across the two
+# xdist workers) — same cache the CLIs/Registrar use. Measured effect
+# on the suite is modest (the heavy tests are execution-bound on CPU,
+# not compile-bound: warm fcgf rerun 96 s vs cold 93 s), but it is
+# free and removes first-compile noise from timing-sensitive tests.
+# Disable with MVREG_COMPILE_CACHE=0.
+from mvreg.utils.compile_cache import enable_compile_cache  # noqa: E402
+
+enable_compile_cache()
+
 import pytest  # noqa: E402
 
 

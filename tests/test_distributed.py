@@ -89,6 +89,8 @@ def test_sharded_train_step_runs():
     g.dryrun_multichip(8)
 
 
+@pytest.mark.slow  # 83 s; sharded-train parity also runs every round
+# via __graft_entry__.dryrun_multichip (same step, same mesh)
 def test_sharded_train_matches_single_device():
     """Gradient psum over the mesh == single-device step (same batch)."""
     from jax.sharding import NamedSharding, PartitionSpec as P

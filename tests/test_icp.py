@@ -102,6 +102,8 @@ def test_icp_masked_and_vmapped():
     assert float(np.max(np.asarray(translation_error(tr, t)))) < 0.01
 
 
+@pytest.mark.slow  # 80 s; ICP-on path is exercised by the scene
+# integration test and every eval harness run
 def test_pipeline_icp_toggle_runs():
     """register_pair with match.icp_iters>0 stays finite end-to-end."""
     from mvreg.config.schema import PipelineConfig, override

@@ -77,6 +77,7 @@ def test_pipeline_pallas_backend_matches_xla():
         "model.channels": [4, 8, 8, 16],
         "model.descriptor_dim": 8,
         "match.num_corr": 128,
+        "match.overlap_ransac_hypotheses": 64,
         "filter.channels": 16,
         "filter.num_clusters": 8,
         "filter.blocks_before": 1,

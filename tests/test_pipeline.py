@@ -42,6 +42,12 @@ def tiny_cfg():
             "filter.blocks_before": 1,
             "filter.blocks_cluster": 1,
             "filter.blocks_after": 1,
+            # Smoke-scale robust stack: hypothesis counts are a pure
+            # work multiplier (512 is the eval default), not a code
+            # path — 64 exercises the identical program ~6x faster on
+            # the CPU backend these tests run on.
+            "match.overlap_ransac_hypotheses": 64,
+            "match.ransac_hypotheses": 64,
         },
     )
 
@@ -193,6 +199,7 @@ def test_extract_descriptors_shapes(cfg, params):
     np.testing.assert_allclose(norms[m], 1.0, atol=1e-3)
 
 
+@pytest.mark.slow  # 65 s quality A/B (not a correctness gate)
 def test_subvoxel_centers_beat_grid_centers():
     """voxel.subvoxel_centers: per-voxel point centroids are rigid-
     equivariant, so a noiseless transformed pair matched by GT voxel

@@ -119,6 +119,8 @@ def test_checkpoint_save_restore(cfg, batch, tmp_path):
     mgr.close()
 
 
+@pytest.mark.slow  # 154 s; the e2e-sync mechanism is covered by the
+# descriptor-grads and frozen-BN tests below at a fraction of the cost
 def test_sync_stage_trains_through_synchronization(cfg):
     """Sync fine-tune: loss finite, grads reach filter+confidence THROUGH
     the sync layer (eigh_safe backward), and a few steps reduce loss."""
