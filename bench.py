@@ -71,10 +71,11 @@ CFG_OVERRIDES = {
     # (~80 s over fused) and is the measured pipeline winner among the
     # gather-GEMM schedules; see RESULTS.md for the brick-schedule A/B.
     "model.conv_impl": os.environ.get("MVREG_CONV_IMPL", "taps"),
-    # Kernel-map lookup backend A/B (voxelize+plan was 34% of the step
-    # on chip, r3_stages_taps.json): "symjoin" halves the sort-join work
-    # via +/- offset symmetry — round-3 default.
-    "voxel.lookup": os.environ.get("MVREG_LOOKUP", "symjoin"),
+    # Kernel-map lookup backend A/B. With the round-3b rank join the
+    # plain 27-offset sort-join beats symjoin (57.1 vs 55.7 fr/s,
+    # r3_bench_v2_{plain,sym}.log — symjoin's inverse maps are V-row
+    # scatters, exactly the op class the rank join eliminated).
+    "voxel.lookup": os.environ.get("MVREG_LOOKUP", "sortjoin"),
     # Matching backend pinned to XLA in the OFFICIAL bench: the Pallas
     # argmin kernel wins standalone (r3_match_sweep2.json) and is the
     # default on the eval paths, but inside this 5-step chained scan x
