@@ -14,7 +14,7 @@ def train_cfg():
     return override(
         PipelineConfig(),
         **{
-            "voxel.capacities": [1024, 512, 256, 128],
+            "voxel.capacities": [768, 384, 192, 96],
             "voxel.voxel_size": 0.06,
             "model.channels": [8, 16, 16, 32],
             "model.descriptor_dim": 16,
