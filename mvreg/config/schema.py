@@ -146,7 +146,12 @@ class SyncConfig:
     # learned confidence saturates at 0.99 on both.
     overlap_gate: bool = True
     # Floor re-tuned for the soft hinge proximity score (pose_verify):
-    # aligned poses land ~0.4-0.9, aliased/junk ~0.05-0.25.
+    # aligned poses land ~0.4-0.9, aliased/junk ~0.05-0.25. COUPLING
+    # (ADVICE r3): the score is computed against a stride-subsampled
+    # target table, so its absolute scale depends on
+    # match.verify_stride_final — this floor is calibrated at stride 4;
+    # re-check it if the stride changes (coarser stride -> lower
+    # scores -> effectively stricter floor).
     overlap_floor: float = 0.15  # scores at/below this gate to zero
     overlap_power: float = 2.0  # sharpness of the ramp above the floor
     # Global pose-graph Gauss-Newton over the verified correspondences

@@ -97,7 +97,7 @@ def plan_lookup(model_cfg, voxel_cfg) -> str:
     impl = resolve_conv_impl(model_cfg, voxel_cfg)
     if impl == "dense":
         return "dense"
-    if impl == "brick":
+    if impl.startswith("brick"):
         return "brick"
     return voxel_cfg.lookup
 
@@ -109,6 +109,7 @@ def build_unet_plan(
     capacities: Sequence[int],
     kernel_size: int = 3,
     lookup: str = "sortjoin",
+    brick_caps: Sequence[int] | None = None,
 ) -> UNetPlan:
     """Voxelize a batch of fragments and precompute all level maps.
 
@@ -144,10 +145,17 @@ def build_unet_plan(
                 g, pool = vx.coarsen(g, capacities[l])
                 grids.append(g)
                 pools.append(pool)
+            # Brick capacity: measured occupancy on bench-scale surface
+            # fragments is ~V/8 bricks per level ([1004, 266, 67, 15]
+            # for caps [8192..1024], r4 brick_microbench) — capacity/5
+            # keeps >25% headroom at every level while cutting the dense
+            # padding the round-3 //4 heuristic paid for 2-8x.
+            bcaps = brick_caps or [
+                max(capacities[l] // 5, 32) for l in range(levels)
+            ]
             bplans = [
                 build_brick_plan(
-                    g.keys, g.coords, g.mask,
-                    brick_cap=max(capacities[l] // 4, 64),
+                    g.keys, g.coords, g.mask, brick_cap=int(bcaps[l])
                 )
                 for l, g in enumerate(grids)
             ]
@@ -169,7 +177,13 @@ def build_unet_plan(
         kmap_fn = (
             vx.kernel_map_sym if kernel_size % 2 == 1 else vx.kernel_map
         )
-    elif lookup in ("sortjoin", "searchsorted"):
+    elif lookup == "searchsorted":
+        # genuine binary-search backend (ADVICE r3: was silently
+        # aliased to the rank join)
+        import functools
+
+        kmap_fn = functools.partial(vx.kernel_map, method="sort")
+    elif lookup == "sortjoin":
         kmap_fn = vx.kernel_map
     else:
         raise ValueError(f"unknown lookup backend {lookup}")

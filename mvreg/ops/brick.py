@@ -125,6 +125,7 @@ def sparse_conv_brick(
     *,
     accum_dtype=jnp.float32,
     brick_chunk: int = 512,
+    assembly: str = "pallas",
 ) -> Array:
     """Brick-dense sparse conv: feats (V, Cin) -> (V, Cout).
 
@@ -134,6 +135,16 @@ def sparse_conv_brick(
     windows + neighbor gathers materialize per chunk of bricks, not for
     the whole level at once (all-at-once OOM'ed the chip at bench scale
     inside the 16-fragment vmapped UNet, r3_bench_p8_brick.log).
+    `assembly` selects the window-assembly backend:
+      "pallas" (default) — VMEM piece-table kernel
+        (ops/pallas/brick_assemble.py): XLA does only the wide-row
+        neighbor-brick gather; assembly + im2col GEMM run in VMEM.
+      "xla"  — round-3 form: 27 slab dynamic-update-slices into a 6^3
+        halo window + an im2col stack through HBM (measured 1430 ms at
+        2% MFU on chip, r3_stages_brick2.json — kept as the oracle).
+      "xla2" — window assembly as in "xla" but the contraction as 27
+        static strided-slice GEMMs over the window (no im2col
+        materialization).
     """
     V, Cin = feats.shape
     Cout = weights.shape[-1]
@@ -142,19 +153,55 @@ def sparse_conv_brick(
 
     cells = jnp.zeros((Bc * CELLS + 1, Cin), cdt)
     cells = cells.at[plan.voxel_slot].set(feats.astype(cdt))
-    bricks = cells[: Bc * CELLS].reshape(Bc, BRICK, BRICK, BRICK, Cin)
     # im2col weight layout: tap-major (k = dx*9+dy*3+dz) then Cin —
     # matches the column stacking below.
     w_flat = weights.astype(cdt).reshape(27 * Cin, Cout)
 
     nbT = plan.neighbors.T  # (Bc, 27)
-    CH = min(brick_chunk, Bc)
-    pad = (-Bc) % CH
+    # Balanced chunking: ceil-split Bc into <=brick_chunk chunks, chunk
+    # size rounded to a multiple of 16 (Pallas tile divisibility) — a
+    # fixed CH=512 padded non-power-of-two capacities by up to 80%.
+    def cdiv(a, b):
+        return -(-a // b)
+
+    n_chunks = cdiv(Bc, min(brick_chunk, Bc))
+    CH = cdiv(cdiv(Bc, n_chunks), 16) * 16
+    pad = n_chunks * CH - Bc
     if pad:
         nbT = jnp.concatenate(
             [nbT, jnp.full((pad, 27), -1, nbT.dtype)], axis=0
         )
-    n_chunks = nbT.shape[0] // CH
+
+    if assembly == "pallas":
+        from mvreg.ops.pallas.brick_assemble import brick_assemble_conv
+
+        # flat (Bc+1, 64, Cin) cell bricks with a zero brick at index Bc
+        # for absent neighbors — the gather stays in XLA (wide rows).
+        bricks_z = jnp.concatenate(
+            [
+                cells[: Bc * CELLS].reshape(Bc, CELLS, Cin),
+                jnp.zeros((1, CELLS, Cin), cdt),
+            ],
+            axis=0,
+        )
+        interpret = jax.default_backend() == "cpu"
+
+        def one_chunk_pl(nb_c):  # (CH, 27) -> (CH, 64, Cout)
+            src = bricks_z[jnp.where(nb_c < 0, Bc, nb_c)]  # (CH,27,64,Cin)
+            return brick_assemble_conv(src, w_flat, interpret=interpret)
+
+        out = jax.lax.map(one_chunk_pl, nbT.reshape(n_chunks, CH, 27))
+        flat = jnp.concatenate(
+            [
+                out.reshape((Bc + pad) * CELLS, Cout)[: Bc * CELLS],
+                jnp.zeros((1, Cout), out.dtype),
+            ],
+            axis=0,
+        )
+        res = flat[plan.voxel_slot]
+        return (res * out_mask[:, None]).astype(feats.dtype)
+
+    bricks = cells[: Bc * CELLS].reshape(Bc, BRICK, BRICK, BRICK, Cin)
 
     def one_chunk(nb_c):  # (CH, 27) -> (CH, 4,4,4, Cout)
         win = jnp.zeros((CH, 6, 6, 6, Cin), cdt)
@@ -169,6 +216,21 @@ def sparse_conv_brick(
             win = win.at[
                 :, wx : wx + sx, wy : wy + sy, wz : wz + sz
             ].set(src[:, cx : cx + sx, cy : cy + sy, cz : cz + sz])
+        if assembly == "xla2":
+            # contraction as 27 strided-slice GEMMs over the window —
+            # skips the 8x im2col cols materialization through HBM.
+            acc = jnp.zeros((CH * CELLS, Cout), accum_dtype)
+            for k in range(27):
+                ox, oy, oz = k // 9, (k // 3) % 3, k % 3
+                tap = win[
+                    :, ox : ox + 4, oy : oy + 4, oz : oz + 4, :
+                ].reshape(CH * CELLS, Cin)
+                acc = acc + jnp.dot(
+                    tap,
+                    w_flat[k * Cin : (k + 1) * Cin],
+                    preferred_element_type=accum_dtype,
+                )
+            return acc.reshape(CH, BRICK, BRICK, BRICK, Cout)
         # im2col + one big GEMM. lax.conv on (CH, 6,6,6, C) windows
         # measured 1.9% MFU on chip (tiny spatial dims defeat the conv
         # tiler — r3_stages_brick.log: UNet 1515 ms); the 27 static

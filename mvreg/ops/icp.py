@@ -58,8 +58,11 @@ def icp_refine(
     scale: float = 0.05,
     trust_radius: float = 0.25,
     min_inliers: int = 16,
+    y_normals: Array | None = None,
+    y_nweight: Array | None = None,
+    plane_iters: int = 0,
 ) -> tuple[Array, Array]:
-    """Refine T: x->y by point-to-point ICP. Returns (R', t').
+    """Refine T: x->y by point-to-point (+ optional point-to-plane) ICP.
 
     x (K, 3) source points with x_mask (K,); y (V, 3) target points with
     y_mask (V,). `scale` is the Cauchy robust scale (meters),
@@ -67,6 +70,17 @@ def icp_refine(
     `min_inliers` source points find a neighbor within the trust radius
     at the END, the ORIGINAL pose is returned — junk pairs (no true
     overlap) must not be dragged toward coincidental structure.
+
+    With `plane_iters > 0` and `y_normals` (V, 3) (+ optional planarity
+    weights `y_nweight` (V,)), point-to-PLANE Gauss-Newton iterations
+    run after the point-to-point ones: residual r = (Rx+t-q)·n, the
+    classic small-angle 6x6 normal-equation solve. This is what breaks
+    the voxel-centroid noise floor — matched voxels from offset grids
+    cover different surface patches, so their centroids disagree
+    tangentially by ~voxel/2 even when registration is perfect; the
+    plane residual measures only the normal component, where the
+    disagreement is real. Degenerate normal fields (everything
+    parallel) are handled by Levenberg damping on H.
     """
     R0, t0 = R, t
 
@@ -89,11 +103,48 @@ def icp_refine(
         t2 = jnp.where(ok, t_new, t)
         return (R2, t2), n_in
 
-    (R1, t1), n_hist = jax.lax.scan(
-        step, (R, t), None, length=num_iters
+    if num_iters > 0:
+        (R1, t1), n_hist = jax.lax.scan(
+            step, (R, t), None, length=num_iters
+        )
+        ok = n_hist[-1] >= min_inliers
+        R1, t1 = jnp.where(ok, R1, R0), jnp.where(ok, t1, t0)
+    else:
+        R1, t1 = R0, t0
+    if plane_iters <= 0 or y_normals is None:
+        return R1, t1
+
+    from mvreg.core.transforms import so3_exp
+
+    nw_tab = (
+        y_nweight if y_nweight is not None
+        else jnp.ones(y.shape[0], jnp.float32)
     )
-    ok = n_hist[-1] >= min_inliers
-    return (
-        jnp.where(ok, R1, R0),
-        jnp.where(ok, t1, t0),
+
+    def plane_step(carry, _):
+        R, t = carry
+        xt = jnp.einsum("ij,nj->ni", R, x) + t
+        idx, d2 = _nn_3d(xt, y, y_mask)
+        d = jnp.sqrt(jnp.maximum(d2, 0.0))
+        nrm = y_normals[idx]  # (K, 3)
+        r = jnp.sum((xt - y[idx]) * nrm, axis=-1)  # signed plane dist
+        w = x_mask.astype(jnp.float32) * (d < trust_radius) * nw_tab[idx]
+        w = w / (1.0 + (r / scale) ** 2)
+        # J_i = [xt x n ; n] for the increment x' = exp(dth) xt + dt
+        A = jnp.concatenate([jnp.cross(xt, nrm), nrm], axis=-1)  # (K, 6)
+        H = jnp.einsum("k,ki,kj->ij", w, A, A)
+        g = -jnp.einsum("k,ki,k->i", w, A, r)
+        lam = 1e-6 * jnp.trace(H) + 1e-9
+        delta = jnp.linalg.solve(H + lam * jnp.eye(6), g)
+        dR = so3_exp(delta[:3])
+        R2, t2 = dR @ R, dR @ t + delta[3:]
+        n_in = jnp.sum((d < trust_radius) & x_mask & (nw_tab[idx] > 0.1))
+        okp = n_in >= min_inliers
+        return (
+            jnp.where(okp, R2, R), jnp.where(okp, t2, t)
+        ), None
+
+    (R2, t2), _ = jax.lax.scan(
+        plane_step, (R1, t1), None, length=plane_iters
     )
+    return R2, t2

@@ -131,6 +131,11 @@ def ransac_overlap_candidate(
         return jnp.sum(close.astype(jnp.float32), axis=-1) / nv
 
     H = num_hypotheses
+    # chunk never exceeds H (H < 64 configs previously hit a 0-chunk
+    # reshape), and must divide it
+    chunk = min(chunk, H)
+    while H % chunk:
+        chunk -= 1
     R_ch = R_h.reshape(H // chunk, chunk, 3, 3)
     t_ch = t_h.reshape(H // chunk, chunk, 3)
     scores = jax.lax.map(score_chunk, (R_ch, t_ch)).reshape(H)

@@ -53,12 +53,17 @@ def sparse_conv(
                feature table VMEM-resident, per-tap Mosaic dynamic_gather
                + MXU GEMM, no K-expanded intermediate in HBM.
     """
-    if impl == "brick":
+    if impl.startswith("brick"):
         # kmap is a BrickPlan here (plan built with lookup="brick").
+        # "brick" = Pallas VMEM assembly (default); "brick_xla"/"brick_xla2"
+        # keep the round-3 XLA assembly forms for A/B (ops/brick.py).
         from mvreg.ops.brick import sparse_conv_brick
 
+        assembly = {"brick": "pallas", "brick_xla": "xla",
+                    "brick_xla2": "xla2"}[impl]
         return sparse_conv_brick(
-            feats, kmap, weights, out_mask, accum_dtype=accum_dtype
+            feats, kmap, weights, out_mask, accum_dtype=accum_dtype,
+            assembly=assembly,
         )
     K, V = kmap.shape
     Cin = feats.shape[-1]

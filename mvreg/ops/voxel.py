@@ -249,12 +249,18 @@ def neighbor_offsets(kernel_size: int) -> Array:
     )
 
 
-def kernel_map(grid_keys: Array, grid_mask: Array, offsets: Array) -> Array:
+def kernel_map(
+    grid_keys: Array, grid_mask: Array, offsets: Array,
+    method: str = "rank",
+) -> Array:
     """Kernel map (K, V): index of neighbor `coord + offset_k`, or -1.
 
     TPU-native equivalent of MinkowskiEngine's kernel-map construction
     (SURVEY.md §3.4): for each of the K kernel offsets, one vectorized
-    packed-key shift + binary search over the sorted voxel table.
+    packed-key shift + an equi-join against the sorted voxel table.
+    `method` threads through to `lookup` ("rank" = pure-sort join;
+    "sort" = jnp.searchsorted) so the config's lookup backends measure
+    genuinely different code paths.
     """
     coords = unpack_coords(grid_keys)
     ncoords = coords[None, :, :] + offsets[:, None, :]  # (K, V, 3)
@@ -263,7 +269,7 @@ def kernel_map(grid_keys: Array, grid_mask: Array, offsets: Array) -> Array:
     nkeys = jnp.where(
         ok, pack_coords(jnp.clip(ncoords, 0, GRID_SIZE - 1)), SENTINEL
     )
-    return lookup(grid_keys, nkeys)
+    return lookup(grid_keys, nkeys, method=method)
 
 
 def kernel_map_sym(

@@ -33,6 +33,10 @@ def scene_icp_refine(
     scale: float = 0.05,
     trust_radius: float = 0.25,
     target_subsample: int = 512,
+    normals: Array | None = None,
+    nweights: Array | None = None,
+    plane_rounds: int = 0,
+    plane_iters: int = 2,
 ) -> SyncResult:
     """Polish absolute poses (N,3,3)/(N,3) against the joint world cloud.
 
@@ -40,6 +44,12 @@ def scene_icp_refine(
     (N, V). Each Jacobi round: build the world cloud from current poses
     (S spread-subsampled points per node), then every node ICPs its own
     cloud against the world cloud WITH ITS OWN POINTS MASKED OUT.
+
+    With `plane_rounds > 0` and per-voxel `normals` (N, V, 3) (+
+    planarity `nweights` (N, V)), that many EXTRA rounds run afterwards
+    using point-to-plane residuals (normals rotated into world frame
+    each round) — the stage that breaks the point-to-point centroid
+    noise floor (see ops/icp.icp_refine).
     """
     N, V, _ = centers.shape
     S = min(target_subsample, V)
@@ -50,29 +60,54 @@ def scene_icp_refine(
     order = jnp.argsort(h)[:S]
     sub = centers[:, order]  # (N, S, 3)
     sub_mask = masks[:, order]  # (N, S)
+    sub_nrm = normals[:, order] if normals is not None else None
+    sub_nw = nweights[:, order] if nweights is not None else None
 
     R, t = sync.R, sync.t
 
-    def one_round(carry, _):
-        R, t = carry
-        world = (
-            jnp.einsum("nij,nsj->nsi", R, sub) + t[:, None, :]
-        )  # (N, S, 3)
-        flat = world.reshape(N * S, 3)
-        flat_mask = sub_mask.reshape(N * S)
+    def make_round(plane: bool):
+        def one_round(carry, _):
+            R, t = carry
+            world = (
+                jnp.einsum("nij,nsj->nsi", R, sub) + t[:, None, :]
+            )  # (N, S, 3)
+            flat = world.reshape(N * S, 3)
+            flat_mask = sub_mask.reshape(N * S)
+            if plane:
+                wn = jnp.einsum("nij,nsj->nsi", R, sub_nrm)
+                flat_n = wn.reshape(N * S, 3)
+                flat_nw = (
+                    sub_nw.reshape(N * S) if sub_nw is not None else None
+                )
 
-        def refine_node(k):
-            # mask out node k's own points from the target
-            not_self = (jnp.arange(N * S) // S) != k
-            tm = flat_mask & not_self
-            return icp_refine(
-                R[k], t[k], centers[k], masks[k], flat, tm,
-                num_iters=icp_iters, scale=scale,
-                trust_radius=trust_radius,
-            )
+            def refine_node(k):
+                # mask out node k's own points from the target
+                not_self = (jnp.arange(N * S) // S) != k
+                tm = flat_mask & not_self
+                if plane:
+                    return icp_refine(
+                        R[k], t[k], centers[k], masks[k], flat, tm,
+                        num_iters=0, scale=scale,
+                        trust_radius=trust_radius,
+                        y_normals=flat_n, y_nweight=flat_nw,
+                        plane_iters=plane_iters,
+                    )
+                return icp_refine(
+                    R[k], t[k], centers[k], masks[k], flat, tm,
+                    num_iters=icp_iters, scale=scale,
+                    trust_radius=trust_radius,
+                )
 
-        R2, t2 = jax.lax.map(refine_node, jnp.arange(N))
-        return (R2, t2), None
+            R2, t2 = jax.lax.map(refine_node, jnp.arange(N))
+            return (R2, t2), None
 
-    (R, t), _ = jax.lax.scan(one_round, (R, t), None, length=rounds)
+        return one_round
+
+    (R, t), _ = jax.lax.scan(
+        make_round(False), (R, t), None, length=rounds
+    )
+    if plane_rounds > 0 and normals is not None:
+        (R, t), _ = jax.lax.scan(
+            make_round(True), (R, t), None, length=plane_rounds
+        )
     return sync._replace(R=R, t=t)

@@ -80,7 +80,7 @@ def test_pipeline_soft_pallas_path():
             "model.channels": [8, 16, 32, 64],
             "model.descriptor_dim": 16,
             "match.num_corr": 128,
-        "match.overlap_ransac_hypotheses": 64,
+            "match.overlap_ransac_hypotheses": 64,
             "match.backend": "pallas",
         },
     )

@@ -121,7 +121,7 @@ def test_pipeline_ransac_estimator():
             "match.num_corr": 128,
             "match.estimator": "ransac",
             "match.ransac_hypotheses": 128,
-        "match.overlap_ransac_hypotheses": 64,
+            "match.overlap_ransac_hypotheses": 64,
             "filter.channels": 16,
             "filter.num_clusters": 8,
             "filter.blocks_before": 1,
