@@ -41,7 +41,7 @@ POINTS = 16384
 # MVREG_BENCH_PAIRS A/Bs the batch scale (the CPU-baseline cache is
 # re-measured per scale).
 BATCH_PAIRS = int(os.environ.get("MVREG_BENCH_PAIRS", "8"))
-SCAN_ITERS = 5  # chained steps per dispatch (steady-state protocol)
+# SCAN_ITERS defined below CFG_OVERRIDES (env-overridable)
 CFG_OVERRIDES = {
     # Official capacities (rounds 1-3 comparable). MVREG_BENCH_CAPS=
     # "tight" is an informational A/B: bench fragments actually fill
@@ -85,7 +85,13 @@ CFG_OVERRIDES = {
     # the driver-run number wins.
     "match.backend": os.environ.get("MVREG_MATCH_BACKEND", "xla"),
     "voxel.dense_grid": [112, 112, 112],
+    # Kernel-support A/B (round 4): gather rows scale with tap count.
+    "model.kernel_taps": [
+        int(os.environ.get("MVREG_TAPS", "27"))
+    ] * 4,
 }
+# Chained steps per dispatch; override for fault bisection runs.
+SCAN_ITERS = int(os.environ.get("MVREG_BENCH_ITERS", "5"))
 
 
 def build():
@@ -225,6 +231,9 @@ def cpu_baseline() -> float:
     key = f"{POINTS}x{BATCH_PAIRS}"
     if os.environ.get("MVREG_BENCH_CAPS") == "tight":
         key += "-tight"
+    taps = os.environ.get("MVREG_TAPS", "27")
+    if taps != "27":
+        key += f"-k{taps}"
     # Legacy single-entry format ({"fragments_per_s": ..., "points": ...,
     # "batch_pairs": ...}) maps onto its own scale key.
     if "fragments_per_s" in cached:
@@ -287,6 +296,8 @@ def main():
         print(line[-1])
         return
     try:
+        if os.environ.get("MVREG_SKIP_CPU_BASELINE") == "1":
+            raise RuntimeError("baseline skipped by env")
         base = cpu_baseline()
         _mark("cpu baseline ready")
         vs = frag_s / base if base > 0 else float("nan")

@@ -52,6 +52,14 @@ class ModelConfig:
     # block-sparse schedule (ops/brick.py): dense 4^3 bricks + halo
     # windows, ~7x fewer gathered rows and 28x smaller plan sort-joins.
     conv_impl: str = "fused"
+    # Kernel support per UNet level: 27 (full 3³, the reference's
+    # MinkowskiEngine kernel), 19 (corners dropped), or 7 (face cross).
+    # The sparse conv is gather-ROW-bound on TPU (~8 ns/row,
+    # r3_chainprof), so cost scales ~linearly with taps — 7-tap at L0
+    # is a ~3.9x lever on the UNet's dominant level. Checkpoints carry
+    # their value via config.yaml; weight shapes differ across values
+    # (scripts/slice_taps.py converts 27-tap checkpoints).
+    kernel_taps: tuple[int, int, int, int] = (27, 27, 27, 27)
     pointnet_k: int = 32
     pointnet_radius: float = 0.3
 
@@ -65,6 +73,11 @@ class MatchConfig:
     # runs/results/r3_match_sweep2.json), chunked XLA elsewhere
     # (interpret-mode Pallas is test-ware on CPU).
     backend: str = "auto"  # "auto" | "xla" | "pallas"
+    # MXU precision of the Pallas match kernel: "highest" is bit-exact
+    # vs the XLA path (1.27x faster); "default" truncates to bf16 (5.1x
+    # faster, ~0.7% argmin flips on near-tie descriptors) — ship only
+    # with an end-to-end accuracy A/B (r3 weak #3).
+    pallas_precision: str = "highest"
     soft_temperature: float = 0.02
     irls_iters: int = 3  # robust Procrustes reweighting (RANSAC stand-in)
     irls_scale: float = 0.05  # Cauchy scale, meters
@@ -109,6 +122,14 @@ class MatchConfig:
     icp_iters: int = 3
     icp_scale: float = 0.05  # Cauchy scale, meters
     icp_trust_radius: float = 0.25  # max NN association distance, meters
+    # Point-to-PLANE Gauss-Newton iterations appended to the pairwise
+    # ICP polish (ops/icp.py). Matched voxels from offset grids cover
+    # different surface patches, so point-to-point floors at ~voxel/2
+    # tangential centroid mismatch (the measured 2-3 cm translation
+    # noise floor, VERDICT r3); the plane residual measures only the
+    # normal component. Needs per-voxel normals (ops/normals.py),
+    # computed once per fragment in extract_descriptors.
+    icp_plane_iters: int = 2
     # Edges vmapped per lax.map chunk in register_scene: bigger chunks =
     # larger batched GEMMs (MXU utilization) at higher peak memory.
     edge_batch: int = 16
@@ -154,6 +175,20 @@ class SyncConfig:
     # scores -> effectively stricter floor).
     overlap_floor: float = 0.15  # scores at/below this gate to zero
     overlap_power: float = 2.0  # sharpness of the ramp above the floor
+    # Triplet cycle-consistency gate on the sync init weights
+    # (sync/cycles.py): lattice-slid alias edges pass the overlap gate
+    # and saturate the confidence net by construction, but leave a
+    # ~lattice-period residual in every composition cycle through them.
+    # Neutral (score 1) for edges without reliable triplet evidence.
+    cycle_gate: bool = True
+    cycle_tau_rot: float = 10.0  # deg — cycle closure gate
+    cycle_tau_trans: float = 0.25  # meters
+    cycle_power: float = 2.0  # sharpness of the score -> weight ramp
+    # Extra scene-ICP rounds with point-to-plane residuals after the
+    # point-to-point rounds (sync/refine.py; same noise-floor argument
+    # as match.icp_plane_iters — this is the stage that sets the final
+    # absolute-translation accuracy).
+    scene_icp_plane_rounds: int = 1
     # Global pose-graph Gauss-Newton over the verified correspondences
     # (sync/pose_gn.py): one joint damped-GN solve over all N node poses
     # — loop-closure constraints per-edge sync and per-node scene-ICP

@@ -110,6 +110,7 @@ def build_unet_plan(
     kernel_size: int = 3,
     lookup: str = "sortjoin",
     brick_caps: Sequence[int] | None = None,
+    taps: Sequence[int] | None = None,
 ) -> UNetPlan:
     """Voxelize a batch of fragments and precompute all level maps.
 
@@ -117,9 +118,14 @@ def build_unet_plan(
     level (len = number of levels). All outputs are static-shaped.
     `lookup` picks the neighbor-lookup backend: "hash" (scatter-built
     open addressing, ~6 gather rounds) or "searchsorted" (binary search).
+    `taps` selects the per-level kernel support (27|19|7 of the 3³
+    stencil; see voxel.sparse_offsets) — kmaps[l] then has K=taps[l]
+    rows and the model's kernel_taps must match.
     """
-    offsets = vx.neighbor_offsets(kernel_size)
     levels = len(capacities)
+    if taps is None:
+        taps = (kernel_size**3,) * levels
+    offs = [vx.sparse_offsets(int(t), kernel_size) for t in taps]
     if lookup == "dense":
         # Dense-grid schedule (ops/dense_grid.py): no kernel maps or pool
         # maps at all — the UNet runs as dense 3-D convs over a static
@@ -196,7 +202,9 @@ def build_unet_plan(
             g, pool = vx.coarsen(g, capacities[l])
             grids.append(g)
             pools.append(pool)
-        kmaps = [kmap_fn(g.keys, g.mask, offsets) for g in grids]
+        kmaps = [
+            kmap_fn(g.keys, g.mask, offs[l]) for l, g in enumerate(grids)
+        ]
         masks = [g.mask for g in grids]
         counts = [g.num_voxels for g in grids]
         return tuple(masks), tuple(kmaps), tuple(pools), tuple(counts), tuple(grids)
@@ -232,6 +240,15 @@ class SparseConv(nn.Module):
         if x.ndim == 5:  # dense (B, X, Y, Z, C) grid schedule
             from mvreg.ops.dense_grid import conv3
 
+            if self.kernel_volume != 27:
+                # sparse-support kernel: absent taps are zeros in the
+                # dense 3^3 weight (identical math to the masked gather)
+                idx = jnp.asarray(
+                    vx.sparse_offset_indices(self.kernel_volume)
+                )
+                Wc = (
+                    jnp.zeros((27,) + W.shape[1:], Wc.dtype).at[idx].set(Wc)
+                )
             return conv3(xc, Wc)
         return jax.vmap(
             lambda f, k, m: sparse_conv(f, k, Wc, m, impl=self.impl)
@@ -292,17 +309,20 @@ class ResBlock(nn.Module):
     features: int
     dtype: Any = jnp.float32
     impl: str = "fused"
+    kernel_volume: int = 27
 
     @nn.compact
     def __call__(self, x: Array, kmap: Array, mask: Array, train: bool) -> Array:
-        h = SparseConv(self.features, dtype=self.dtype, impl=self.impl)(
-            x, kmap, mask
-        )
+        h = SparseConv(
+            self.features, kernel_volume=self.kernel_volume,
+            dtype=self.dtype, impl=self.impl,
+        )(x, kmap, mask)
         h = MaskedBatchNorm()(h, mask, train)
         h = nn.relu(h)
-        h = SparseConv(self.features, dtype=self.dtype, impl=self.impl)(
-            h, kmap, mask
-        )
+        h = SparseConv(
+            self.features, kernel_volume=self.kernel_volume,
+            dtype=self.dtype, impl=self.impl,
+        )(h, kmap, mask)
         h = MaskedBatchNorm()(h, mask, train)
         return nn.relu(h + x)
 
@@ -321,6 +341,8 @@ class FCGF(nn.Module):
     remat: bool = False  # rematerialize ResBlocks (memory for FLOPs)
     conv_impl: str = "fused"  # schedule: fused|taps|einsum|dense|pallas
     dense_grid: tuple[int, int, int] = (96, 96, 96)  # conv_impl="dense"
+    # per-level kernel support (27|19|7); must match the plan's taps
+    kernel_taps: Sequence[int] = (27, 27, 27, 27)
 
     @nn.compact
     def __call__(self, plan: UNetPlan, feats: Array, train: bool = False) -> Array:
@@ -356,10 +378,15 @@ class FCGF(nn.Module):
 
         # Stem
         ci = self.conv_impl
-        h0 = SparseConv(c[0], dtype=dt, impl=ci)(feats, kmaps[0], masks[0])
+        kt = tuple(self.kernel_taps)
+        h0 = SparseConv(c[0], kernel_volume=kt[0], dtype=dt, impl=ci)(
+            feats, kmaps[0], masks[0]
+        )
         h0 = MaskedBatchNorm()(h0, masks[0], train)
         h0 = nn.relu(h0)
-        h0 = Block(c[0], dtype=dt, impl=ci)(h0, kmaps[0], masks[0], train)
+        h0 = Block(c[0], dtype=dt, impl=ci, kernel_volume=kt[0])(
+            h0, kmaps[0], masks[0], train
+        )
 
         # Encoder
         skips = [h0]
@@ -368,7 +395,9 @@ class FCGF(nn.Module):
             h = SparseDown(c[l], dtype=dt)(h, pools[l - 1], caps[l])
             h = MaskedBatchNorm()(h, masks[l], train)
             h = nn.relu(h)
-            h = Block(c[l], dtype=dt, impl=ci)(h, kmaps[l], masks[l], train)
+            h = Block(c[l], dtype=dt, impl=ci, kernel_volume=kt[l])(
+                h, kmaps[l], masks[l], train
+            )
             skips.append(h)
 
         # Decoder
@@ -378,11 +407,15 @@ class FCGF(nn.Module):
             h = MaskedBatchNorm()(h, masks[l], train)
             h = nn.relu(h)
             h = jnp.concatenate([h, skips[l]], axis=-1)
-            h = SparseConv(tr, dtype=dt, impl=ci)(h, kmaps[l], masks[l])
+            h = SparseConv(tr, kernel_volume=kt[l], dtype=dt, impl=ci)(
+                h, kmaps[l], masks[l]
+            )
             h = MaskedBatchNorm()(h, masks[l], train)
             h = nn.relu(h)
             if l > 0:
-                h = Block(tr, dtype=dt, impl=ci)(h, kmaps[l], masks[l], train)
+                h = Block(tr, dtype=dt, impl=ci, kernel_volume=kt[l])(
+                    h, kmaps[l], masks[l], train
+                )
 
         if dense:
             from mvreg.ops import dense_grid as dg

@@ -88,3 +88,77 @@ def voxel_normals(
     planarity = jnp.clip((w_eig[:, 1] - w_eig[:, 2]) / l0, 0.0, 1.0)
     ok = (agg[:, 0] >= min_points) & grid.mask
     return normal * ok[:, None], planarity * ok
+
+
+def _moments(points: Array, seg: Array, weights: Array, V: int) -> Array:
+    """(count, sum, second-moment) rows (V, 13) by segment-sum."""
+    p = points * weights[:, None]
+    s1 = jax.ops.segment_sum(p, seg, num_segments=V)
+    outer = points[:, :, None] * p[:, None, :]
+    s2 = jax.ops.segment_sum(outer.reshape(-1, 9), seg, num_segments=V)
+    n = jax.ops.segment_sum(weights, seg, num_segments=V)
+    return jnp.concatenate([n[:, None], s1, s2], axis=-1)
+
+
+def _normals_from_moments(
+    agg: Array, mask: Array, min_points: int
+) -> tuple[Array, Array]:
+    na = jnp.maximum(agg[:, 0], 1e-6)
+    mu = agg[:, 1:4] / na[:, None]
+    cov = agg[:, 4:].reshape(-1, 3, 3) / na[:, None, None] - (
+        mu[:, :, None] * mu[:, None, :]
+    )
+    w_eig, v_eig = eigh3x3(cov)
+    normal = v_eig[..., 2]
+    normal = normal / jnp.maximum(
+        jnp.linalg.norm(normal, axis=-1, keepdims=True), 1e-12
+    )
+    l0 = jnp.maximum(w_eig[:, 0], 1e-12)
+    planarity = jnp.clip((w_eig[:, 1] - w_eig[:, 2]) / l0, 0.0, 1.0)
+    ok = (agg[:, 0] >= min_points) & mask
+    return normal * ok[:, None], planarity * ok
+
+
+def voxel_normals_l1(
+    grid0: "vx.VoxelGrid",
+    points: Array,
+    pool,
+    kmap1: Array,
+    num_coarse: int,
+    min_points: int = 6,
+) -> tuple[Array, Array]:
+    """Per-L0-voxel normals computed at the L1 (2x coarser) level.
+
+    Bench-measured motivation: the L0 version's neighbor aggregation is
+    a 7*V0-row gather (~7 ms/step at bench scale — the per-row gather
+    floor again, r4_bench_k19 regression). Here every expensive step is
+    a scatter/segment-sum or reuses the plan's EXISTING L1 kernel map:
+    L0 moments pool into parents (V0-row scatter), aggregate over the
+    L1 kernel map (K*V1 rows, ~8x fewer than the L0 version), and L0
+    voxels inherit their parent's normal (V0-row gather). Normals at
+    2-3 voxel patch scale are also better conditioned than the L0 fit.
+
+    pool: PoolMap L0->L1; kmap1: (K, V1) L1 kernel map (any tap count).
+    Returns (normals (V0, 3), planarity (V0,)).
+    """
+    V0 = grid0.keys.shape[0]
+    pm = grid0.point_mask.astype(jnp.float32)
+    p = (points - grid0.origin) * pm[:, None]
+    m0 = _moments(p, grid0.point2voxel, pm, V0)
+
+    # pool moments to parents (scatter; overflow rows -> dump)
+    parent = jnp.where(pool.mask, pool.parent, num_coarse)
+    m1 = jax.ops.segment_sum(m0, parent, num_segments=num_coarse + 1)
+
+    # aggregate over the L1 neighborhood using the existing kernel map
+    m1z = m1.at[num_coarse].set(0.0)
+    agg = jnp.sum(m1z[jnp.where(kmap1 < 0, num_coarse, kmap1)], axis=0)
+
+    mask1 = jnp.arange(num_coarse) >= 0  # all rows; gated by counts
+    n1, w1 = _normals_from_moments(agg, mask1, min_points)
+
+    # L0 voxels inherit the parent normal
+    par = jnp.minimum(pool.parent, num_coarse - 1)
+    n0 = n1[par] * pool.mask[:, None]
+    w0 = w1[par] * pool.mask
+    return n0, w0

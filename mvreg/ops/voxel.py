@@ -249,6 +249,55 @@ def neighbor_offsets(kernel_size: int) -> Array:
     )
 
 
+def sparse_offsets(taps: int, kernel_size: int = 3) -> Array:
+    """Sparse-support subsets of the 3³ kernel, (taps, 3) int32.
+
+    TPU design lever (round-4): the sparse conv is gather-ROW-bound
+    (~8 ns/row regardless of width, r3_chainprof), so kernel support is
+    nearly proportional to conv cost. Subsets keep the dx-major order
+    of `neighbor_offsets` filtered in place, so they remain
+    negation-symmetric around the center tap (offsets[K-1-k] ==
+    -offsets[k]) — `kernel_map_sym` stays valid.
+
+      27: full 3³ (the reference's MinkowskiEngine kernel, SURVEY C2)
+      19: corners dropped (|dx|+|dy|+|dz| <= 2)
+       7: center + 6 faces (the classic cross/submanifold stencil)
+
+    Stacked cross kernels still grow diagonal receptive field (two
+    7-tap convs cover the 13-tap ball), which is why submanifold nets
+    get away with it; accuracy is re-verified per checkpoint.
+    """
+    if kernel_size != 3:
+        assert taps == kernel_size**3, "subsets only defined for 3³"
+        return neighbor_offsets(kernel_size)
+    full = [
+        (dx, dy, dz)
+        for dx in (-1, 0, 1)
+        for dy in (-1, 0, 1)
+        for dz in (-1, 0, 1)
+    ]
+    if taps == 27:
+        keep = full
+    elif taps == 19:
+        keep = [o for o in full if sum(map(abs, o)) <= 2]
+    elif taps == 7:
+        keep = [o for o in full if sum(map(abs, o)) <= 1]
+    else:
+        raise ValueError(f"unsupported tap count {taps} (27|19|7)")
+    return jnp.array(keep, dtype=jnp.int32)
+
+
+def sparse_offset_indices(taps: int) -> list[int]:
+    """Positions of the `taps` subset within the dx-major 27 list
+    (for slicing 27-tap weights into sparse-support weights)."""
+    import numpy as np
+
+    full = neighbor_offsets(3)
+    sub = sparse_offsets(taps)
+    fa, sa = np.asarray(full), np.asarray(sub)
+    return [int(np.where((fa == s).all(axis=1))[0][0]) for s in sa]
+
+
 def kernel_map(
     grid_keys: Array, grid_mask: Array, offsets: Array,
     method: str = "rank",

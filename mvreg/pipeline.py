@@ -46,6 +46,11 @@ class Descriptors(NamedTuple):
     feats: Array  # (B, V, D) unit descriptors
     centers: Array  # (B, V, 3) voxel centers, fragment-local frame
     mask: Array  # (B, V)
+    # surface normals + planarity per voxel (ops/normals.py), computed
+    # when any point-to-plane stage is enabled; None otherwise (None is
+    # an empty pytree, so tree_map call sites need no changes)
+    normals: Array | None = None
+    nweights: Array | None = None
 
 
 class PairResult(NamedTuple):
@@ -82,6 +87,7 @@ def make_models(cfg: PipelineConfig):
             compute_dtype=cfg.model.compute_dtype, remat=cfg.model.remat,
             conv_impl=resolve_conv_impl(cfg.model, cfg.voxel),
             dense_grid=cfg.voxel.dense_grid,
+            kernel_taps=cfg.model.kernel_taps,
         )
     fnet = FilteringNet(
         channels=cfg.filter.channels,
@@ -110,6 +116,7 @@ def init_params(key: Array, cfg: PipelineConfig) -> RegistrationParams:
             pts, jnp.ones((1, P), bool), cfg.voxel.voxel_size,
             cfg.voxel.capacities, cfg.voxel.kernel_size,
             plan_lookup(cfg.model, cfg.voxel),
+            taps=cfg.model.kernel_taps,
         )
         feats = jnp.ones((1, cfg.voxel.capacities[0], 1))
         fcgf_vars = fcgf.init(k1, plan, feats, train=False)
@@ -148,11 +155,37 @@ def extract_descriptors(
     plan = build_unet_plan(
         points, mask, cfg.voxel.voxel_size, cfg.voxel.capacities,
         cfg.voxel.kernel_size, plan_lookup(cfg.model, cfg.voxel),
+        taps=cfg.model.kernel_taps,
     )
     feats = input_features(plan)
     desc = fcgf.apply(params.fcgf, plan, feats, train=False)
     centers = voxel_positions(cfg, plan, points)
-    return Descriptors(feats=desc, centers=centers, mask=plan.masks[0])
+    normals = nweights = None
+    if cfg.match.icp_plane_iters > 0 or cfg.sync.scene_icp_plane_rounds > 0:
+        lk = plan_lookup(cfg.model, cfg.voxel)
+        if lk not in ("dense", "brick") and len(cfg.voxel.capacities) > 1:
+            # L1-level normals reuse the plan's L1 kernel map — ~8x
+            # cheaper than the L0 neighbor gather (r4_bench_k19
+            # regression: the L0 version cost more than sparse kernel
+            # taps saved).
+            from mvreg.ops.normals import voxel_normals_l1
+
+            cap1 = int(cfg.voxel.capacities[1])
+            normals, nweights = jax.vmap(
+                lambda g, p, pool, km: voxel_normals_l1(
+                    g, p, pool, km, cap1
+                )
+            )(plan.grids[0], points, plan.pools[0], plan.kmaps[1])
+        else:
+            from mvreg.ops.normals import voxel_normals
+
+            normals, nweights = jax.vmap(voxel_normals)(
+                plan.grids[0], points
+            )
+    return Descriptors(
+        feats=desc, centers=centers, mask=plan.masks[0],
+        normals=normals, nweights=nweights,
+    )
 
 
 def voxel_positions(cfg: PipelineConfig, plan, points: Array) -> Array:
@@ -261,6 +294,7 @@ def register_pair(
             idx, _, mut = mutual_match_pallas(
                 fd, fm, desc_j.feats, desc_j.mask,
                 interpret=jax.default_backend() == "cpu",
+                precision=cfg.match.pallas_precision,
             )
         else:
             idx, _, mut = mutual_match(fd, fm, desc_j.feats, desc_j.mask)
@@ -273,6 +307,7 @@ def register_pair(
             idx, _ = nn_match_pallas(
                 fd, fm, desc_j.feats, desc_j.mask,
                 interpret=jax.default_backend() == "cpu",
+                precision=cfg.match.pallas_precision,
             )
         else:
             idx, _ = nn_match(fd, fm, desc_j.feats, desc_j.mask)
@@ -314,7 +349,7 @@ def register_pair(
         )
 
     def _polish(Rc, tc):
-        if cfg.match.icp_iters <= 0:
+        if cfg.match.icp_iters <= 0 and cfg.match.icp_plane_iters <= 0:
             return Rc, tc
         from mvreg.ops.icp import icp_refine
 
@@ -325,6 +360,12 @@ def register_pair(
             num_iters=cfg.match.icp_iters,
             scale=cfg.match.icp_scale,
             trust_radius=cfg.match.icp_trust_radius,
+            y_normals=desc_j.normals,
+            y_nweight=desc_j.nweights,
+            plane_iters=(
+                cfg.match.icp_plane_iters
+                if desc_j.normals is not None else 0
+            ),
         )
 
     if cfg.match.spectral:
@@ -473,6 +514,25 @@ def sync_with_refine(
     keeps it one static program.
     """
     c_init = initial_edge_weights(cfg, pairs)
+    # (triplet tables assume the all_pairs upper-triangle edge layout;
+    # skip the gate for pruned/custom edge lists)
+    all_pairs_layout = (
+        edge_idx.shape[0] == n_nodes * (n_nodes - 1) // 2
+    )
+    if cfg.sync.cycle_gate and n_nodes >= 3 and all_pairs_layout:
+        from mvreg.sync.cycles import cycle_consistency_scores
+
+        # Alias edges survive both the confidence net and the overlap
+        # gate (they genuinely align repeated structure); composition
+        # cycles are what they cannot fake. Neutral without evidence;
+        # never hand the eigensolver an all-zero graph.
+        cyc = cycle_consistency_scores(
+            pairs.R, pairs.t, c_init, n_nodes,
+            tau_rot_deg=cfg.sync.cycle_tau_rot,
+            tau_trans=cfg.sync.cycle_tau_trans,
+        )
+        gated = c_init * cyc ** cfg.sync.cycle_power
+        c_init = jnp.where(jnp.sum(gated) > 1e-6, gated, c_init)
     sync = synchronize(
         edge_idx, pairs.R, pairs.t, c_init, n_nodes=n_nodes,
         num_iters=cfg.sync.num_iters, cauchy_b=cfg.sync.cauchy_b,
@@ -530,6 +590,12 @@ def sync_with_refine(
             icp_iters=cfg.match.icp_iters if cfg.match.icp_iters > 0 else 3,
             scale=cfg.match.icp_scale,
             trust_radius=cfg.match.icp_trust_radius,
+            normals=desc.normals,
+            nweights=desc.nweights,
+            plane_rounds=(
+                cfg.sync.scene_icp_plane_rounds
+                if desc.normals is not None else 0
+            ),
         )
     return pairs, sync
 

@@ -100,6 +100,7 @@ def _descriptors_train(params, stats, cfg, points, mask, update_bn=True):
     plan = build_unet_plan(
         points, mask, cfg.voxel.voxel_size, cfg.voxel.capacities,
         cfg.voxel.kernel_size, plan_lookup(cfg.model, cfg.voxel),
+        taps=cfg.model.kernel_taps,
     )
     from mvreg.pipeline import input_features, voxel_positions
 

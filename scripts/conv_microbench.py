@@ -27,6 +27,9 @@ def main() -> None:
     ap.add_argument("--cout", type=int, default=128)
     ap.add_argument("--dtype", default="bfloat16")
     ap.add_argument("--reps", type=int, default=10)
+    ap.add_argument("--ktaps", type=int, default=27,
+                    help="kernel support (gather rows scale with K)")
+    ap.add_argument("--impls", default="fused,taps,einsum,pallas,pallas2")
     args = ap.parse_args()
     if args.cpu:
         import jax
@@ -40,7 +43,7 @@ def main() -> None:
 
     from mvreg.ops.sparse_conv import sparse_conv
 
-    B, V, K = args.batch, args.voxels, 27
+    B, V, K = args.batch, args.voxels, args.ktaps
     dt = jnp.dtype(args.dtype)
     rng = np.random.default_rng(0)
     feats = jnp.asarray(rng.normal(size=(B, V, args.cin)), dt)
@@ -72,7 +75,7 @@ def main() -> None:
         )
 
     results = {}
-    for impl in ("fused", "taps", "einsum", "pallas", "pallas2"):
+    for impl in args.impls.split(","):
         try:
             f1 = make_chain(impl, 1)
             fN = make_chain(impl, CH)
