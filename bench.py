@@ -89,6 +89,14 @@ CFG_OVERRIDES = {
     "model.kernel_taps": [
         int(os.environ.get("MVREG_TAPS", "27"))
     ] * 4,
+    # Point-to-plane polish A/B (round 4): MVREG_PLANE=0 disables both
+    # plane stages AND the per-fragment normals computation they need.
+    "match.icp_plane_iters": (
+        0 if os.environ.get("MVREG_PLANE") == "0" else 2
+    ),
+    "sync.scene_icp_plane_rounds": (
+        0 if os.environ.get("MVREG_PLANE") == "0" else 1
+    ),
 }
 # Chained steps per dispatch; override for fault bisection runs.
 SCAN_ITERS = int(os.environ.get("MVREG_BENCH_ITERS", "5"))

@@ -124,6 +124,30 @@ def register_scene_sharded(
             gtotal = jax.lax.psum(jnp.sum(gated), EDGE_AXIS)
             c_l = jnp.where(gtotal > 1e-6, gated, c_l)
         c_init_l = c_l
+        if cfg.sync.cycle_gate and N >= 3:
+            from mvreg.sync.cycles import cycle_consistency_scores
+
+            # triplet cycles need every edge's pose: all_gather the
+            # small (E, 12)-float pose summaries, score globally,
+            # slice the local shard back (parity with the single-device
+            # gate in pipeline.sync_with_refine).
+            Rg = jax.lax.all_gather(pairs_l.R, EDGE_AXIS, tiled=True)
+            tg = jax.lax.all_gather(pairs_l.t, EDGE_AXIS, tiled=True)
+            cg = jax.lax.all_gather(c_init_l, EDGE_AXIS, tiled=True)
+            cyc = cycle_consistency_scores(
+                Rg[:E], tg[:E], cg[:E], N,
+                tau_rot_deg=cfg.sync.cycle_tau_rot,
+                tau_trans=cfg.sync.cycle_tau_trans,
+            )
+            cyc_p = jnp.concatenate(
+                [cyc, jnp.ones(E_pad - E, cyc.dtype)]
+            )
+            E_l = eidx_l.shape[0]
+            k = jax.lax.axis_index(EDGE_AXIS)
+            cyc_l = jax.lax.dynamic_slice_in_dim(cyc_p, k * E_l, E_l)
+            gated = c_init_l * cyc_l ** cfg.sync.cycle_power
+            gtotal = jax.lax.psum(jnp.sum(gated), EDGE_AXIS)
+            c_init_l = jnp.where(gtotal > 1e-6, gated, c_init_l)
 
         # num_edges=E (true count): padded edges carry zero weight, so
         # the c_scale mean matches the single-device path exactly.

@@ -32,10 +32,15 @@ def test_brick_conv_matches_gather_gemm():
         ref = sparse_conv(feats, kmap, W, g.mask, impl="fused")
 
         plan = build_brick_plan(g.keys, g.coords, g.mask, brick_cap=256)
-        out = sparse_conv_brick(feats, plan, W, g.mask)
-        np.testing.assert_allclose(
-            np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-4
-        )
+        # xla assembly here (interpret-mode Pallas is ~30x slower on
+        # CPU; the Pallas assembly has its own dedicated parity test)
+        for assembly in ("xla", "xla2"):
+            out = sparse_conv_brick(
+                feats, plan, W, g.mask, assembly=assembly
+            )
+            np.testing.assert_allclose(
+                np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-4
+            )
 
 
 def test_brick_conv_vmap_and_jit():
@@ -55,7 +60,9 @@ def test_brick_conv_vmap_and_jit():
         jnp.stack([g0.mask, g1.mask]),
     )
     f = jax.jit(
-        jax.vmap(lambda x, p, m: sparse_conv_brick(x, p, W, m))
+        jax.vmap(
+            lambda x, p, m: sparse_conv_brick(x, p, W, m, assembly="xla")
+        )
     )
     out = f(feats, plans, jnp.stack([g0.mask, g1.mask]))
     for b, g in enumerate((g0, g1)):
@@ -74,11 +81,31 @@ def test_brick_capacity_overflow_drops_not_corrupts():
     feats = jnp.ones((V, Cin)) * g.mask[:, None]
     W = jnp.tile(jnp.eye(Cin)[None], (27, 1, 1)) / 27.0
     plan = build_brick_plan(g.keys, g.coords, g.mask, brick_cap=8)
-    out = sparse_conv_brick(feats, plan, W, g.mask)
+    out = sparse_conv_brick(feats, plan, W, g.mask, assembly="xla")
     assert np.isfinite(np.asarray(out)).all()
     # kept voxels produce bounded outputs; dropped ones zero
     kept = np.asarray(plan.voxel_slot) < 8 * 64
     assert np.asarray(out)[~kept & np.asarray(g.mask)].sum() == 0
+
+
+def test_brick_pallas_assembly_matches_xla():
+    """The VMEM piece-table kernel (interpret mode on CPU) == the XLA
+    assembly on one small grid — the dedicated (and bounded-cost)
+    parity check for ops/pallas/brick_assemble.py."""
+    g = _grid(5, n=400, cap=256)
+    V = g.keys.shape[0]
+    Cin, Cout = 8, 8
+    rng = np.random.default_rng(5)
+    feats = jnp.asarray(
+        rng.normal(size=(V, Cin)) * g.mask[:, None], jnp.float32
+    )
+    W = jnp.asarray(rng.normal(size=(27, Cin, Cout)) * 0.1, jnp.float32)
+    plan = build_brick_plan(g.keys, g.coords, g.mask, brick_cap=128)
+    ref = sparse_conv_brick(feats, plan, W, g.mask, assembly="xla")
+    out = sparse_conv_brick(feats, plan, W, g.mask, assembly="pallas")
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-4
+    )
 
 
 @pytest.mark.slow  # op-level parity stays in the default tier
