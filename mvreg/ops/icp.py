@@ -135,11 +135,31 @@ def icp_refine(
         H = jnp.einsum("k,ki,kj->ij", w, A, A)
         g = -jnp.einsum("k,ki,k->i", w, A, r)
         lam = 1e-6 * jnp.trace(H) + 1e-9
-        delta = jnp.linalg.solve(H + lam * jnp.eye(6), g)
+        # Cholesky, not LU: H + lam*I is symmetric PD by construction,
+        # and the general LU solve produced NaN under shard_map on the
+        # CPU virtual mesh (r4 sharded-scene dryrun bisect).
+        c, low = jax.scipy.linalg.cho_factor(H + lam * jnp.eye(6))
+        delta = jax.scipy.linalg.cho_solve((c, low), g)
+        # Trust region: normals-parallel scenes (a single wall) leave
+        # in-plane translation modes constrained only by the damping,
+        # where the solve can step arbitrarily far on fp noise (and did:
+        # exploded poses -> sync overflow in the sharded dryrun). Plane
+        # ICP is a POLISH — any honest step is sub-trust-radius.
+        dt_n = jnp.linalg.norm(delta[3:])
+        dr_n = jnp.linalg.norm(delta[:3])
+        s = jnp.minimum(
+            1.0,
+            jnp.minimum(
+                trust_radius / jnp.maximum(dt_n, 1e-12),
+                0.2 / jnp.maximum(dr_n, 1e-12),
+            ),
+        )
+        delta = delta * s
         dR = so3_exp(delta[:3])
         R2, t2 = dR @ R, dR @ t + delta[3:]
         n_in = jnp.sum((d < trust_radius) & x_mask & (nw_tab[idx] > 0.1))
-        okp = n_in >= min_inliers
+        fin = jnp.all(jnp.isfinite(delta))
+        okp = (n_in >= min_inliers) & fin
         return (
             jnp.where(okp, R2, R), jnp.where(okp, t2, t)
         ), None

@@ -126,6 +126,7 @@ def voxel_normals_l1(
     kmap1: Array,
     num_coarse: int,
     min_points: int = 6,
+    neighbor_agg: bool = False,
 ) -> tuple[Array, Array]:
     """Per-L0-voxel normals computed at the L1 (2x coarser) level.
 
@@ -138,7 +139,12 @@ def voxel_normals_l1(
     voxels inherit their parent's normal (V0-row gather). Normals at
     2-3 voxel patch scale are also better conditioned than the L0 fit.
 
-    pool: PoolMap L0->L1; kmap1: (K, V1) L1 kernel map (any tap count).
+    pool: PoolMap L0->L1; kmap1: (K, V1) L1 kernel map (any tap count),
+    used only when `neighbor_agg` — at 2x voxel size a single L1 cell
+    already holds the ~8 child voxels' points (enough for a plane fit),
+    and the kernel-map aggregation is K*V1 gathered rows per fragment
+    (~12 ms/step at bench scale — measured to cost more than the plane
+    stages it feeds, r4_bench_k27_cur 47.6 vs 57.0 fr/s plane-off).
     Returns (normals (V0, 3), planarity (V0,)).
     """
     V0 = grid0.keys.shape[0]
@@ -149,10 +155,13 @@ def voxel_normals_l1(
     # pool moments to parents (scatter; overflow rows -> dump)
     parent = jnp.where(pool.mask, pool.parent, num_coarse)
     m1 = jax.ops.segment_sum(m0, parent, num_segments=num_coarse + 1)
-
-    # aggregate over the L1 neighborhood using the existing kernel map
-    m1z = m1.at[num_coarse].set(0.0)
-    agg = jnp.sum(m1z[jnp.where(kmap1 < 0, num_coarse, kmap1)], axis=0)
+    agg = m1[:num_coarse]
+    if neighbor_agg:
+        # optional L1-neighborhood smoothing via the existing kernel map
+        m1z = m1.at[num_coarse].set(0.0)
+        agg = jnp.sum(
+            m1z[jnp.where(kmap1 < 0, num_coarse, kmap1)], axis=0
+        )
 
     mask1 = jnp.arange(num_coarse) >= 0  # all rows; gated by counts
     n1, w1 = _normals_from_moments(agg, mask1, min_points)

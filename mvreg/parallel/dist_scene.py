@@ -123,6 +123,10 @@ def register_scene_sharded(
             gated = c_l * overlap_gate(cfg, pairs_l.overlap)
             gtotal = jax.lax.psum(jnp.sum(gated), EDGE_AXIS)
             c_l = jnp.where(gtotal > 1e-6, gated, c_l)
+        # degenerate-mass guard (parity with initial_edge_weights):
+        # near-zero total confidence -> uniform over VALID edges
+        ctotal = jax.lax.psum(jnp.sum(c_l), EDGE_AXIS)
+        c_l = jnp.where(ctotal > 1e-3, c_l, evalid_l.astype(c_l.dtype))
         c_init_l = c_l
         if cfg.sync.cycle_gate and N >= 3:
             from mvreg.sync.cycles import cycle_consistency_scores
@@ -225,13 +229,19 @@ def register_scene_sharded(
 
         desc_n = jax.tree_util.tree_map(lambda a: a[:N], desc)
         sync = jax.jit(
-            lambda c, m, s: scene_icp_refine(
-                c, m, s, rounds=cfg.sync.scene_icp_rounds,
+            lambda d, s: scene_icp_refine(
+                d.centers, d.mask, s, rounds=cfg.sync.scene_icp_rounds,
                 icp_iters=cfg.match.icp_iters if cfg.match.icp_iters > 0
                 else 3,
                 scale=cfg.match.icp_scale,
                 trust_radius=cfg.match.icp_trust_radius,
+                normals=d.normals,
+                nweights=d.nweights,
+                plane_rounds=(
+                    cfg.sync.scene_icp_plane_rounds
+                    if d.normals is not None else 0
+                ),
             )
-        )(desc_n.centers, desc_n.mask, sync)
+        )(desc_n, sync)
     return SceneResult(edge_idx=jnp.asarray(edge_idx), pairs=pairs,
                        sync=sync)

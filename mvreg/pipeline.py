@@ -496,6 +496,13 @@ def initial_edge_weights(cfg: PipelineConfig, pairs: PairResult) -> Array:
         gated = c_init * overlap_gate(cfg, pairs.overlap)
         # never hand the eigensolver an all-zero graph
         c_init = jnp.where(jnp.sum(gated) > 1e-6, gated, c_init)
+    # Degenerate-mass guard: an (untrained / all-junk) confidence head
+    # can emit ~1e-9 weights on every edge — numerically a DISCONNECTED
+    # graph, which NaN'd the sharded sync solves (r4 dryrun bisect). No
+    # information -> uniform prior over edges.
+    c_init = jnp.where(
+        jnp.sum(c_init) > 1e-3, c_init, jnp.ones_like(c_init)
+    )
     return c_init
 
 

@@ -194,6 +194,8 @@ def test_sharded_scene_matches_single_device():
     )
     # scene-ICP's NN associations are discontinuous in their inputs, so
     # psum-reduction fp noise can flip a few associations; parity is
-    # sub-0.3-degree / sub-2-cm rather than bitwise
+    # sub-0.3-degree / sub-3-cm (sub-half-voxel at the 8 cm test voxel)
+    # rather than bitwise. The r4 point-to-plane rounds raised the
+    # association-flip amplification from ~1.5 to ~2 cm worst-case.
     assert float(np.max(err.rot_deg)) < 0.3, err.rot_deg
-    assert float(np.max(err.trans_m)) < 2e-2, err.trans_m
+    assert float(np.max(err.trans_m)) < 3e-2, err.trans_m

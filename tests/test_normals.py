@@ -40,8 +40,15 @@ def test_voxel_normals_l1_matches_plane():
         g, jnp.asarray(pts), pool, km1
     )
     nz = np.abs(np.asarray(n)[np.asarray(g.mask)][:, 2])
-    assert nz.mean() > 0.97
+    # single-cell fit (no neighbor aggregation): slightly noisier but
+    # gather-free — the shipping default (see voxel_normals_l1 docstring)
+    assert nz.mean() > 0.93
     assert float(w[g.mask].mean()) > 0.5
+    n2, w2 = jax.jit(
+        lambda *a: voxel_normals_l1(*a, 512, neighbor_agg=True)
+    )(g, jnp.asarray(pts), pool, km1)
+    nz2 = np.abs(np.asarray(n2)[np.asarray(g.mask)][:, 2])
+    assert nz2.mean() >= nz.mean() - 0.01  # aggregation only smooths
 
 
 def test_point_to_plane_beats_point_to_point_on_offset_grids():
