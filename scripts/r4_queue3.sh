@@ -85,3 +85,10 @@ MVREG_TAPS=7 timeout 5400 python bench.py > "$R/r4_bench_official.log" 2>&1
 echo "rc=$? $(date)"; tail -1 "$R/r4_bench_official.log"
 
 echo "=== r4 queue3 done $(date) ==="
+
+echo "--- [9] pallas-match second-stage repro (mosaic_probe4) ---"
+sleep 60
+timeout 2400 python scripts/mosaic_probe4.py > "$R/r4_mosaic_probe4.log" 2>&1
+echo "rc=$? $(date)"; grep probe4 "$R/r4_mosaic_probe4.log"
+
+echo "=== r4 queue3 really done $(date) ==="
