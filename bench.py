@@ -85,9 +85,15 @@ CFG_OVERRIDES = {
     # the driver-run number wins.
     "match.backend": os.environ.get("MVREG_MATCH_BACKEND", "xla"),
     "voxel.dense_grid": [112, 112, 112],
-    # Kernel-support A/B (round 4): gather rows scale with tap count.
+    # Kernel support (round 4): gather rows scale with tap count, and
+    # the 19-tap (corners-dropped) architecture is the shipping default
+    # — its extended-tune checkpoint BEATS the 27-tap flagship on mv30
+    # (mean rot 1.96 vs 2.14 deg, trans@5cm 0.545 vs 0.476;
+    # r4_mv30_v8k19b.json) at ~1.35x the conv throughput. 7-tap is the
+    # perf tier (103 fr/s) pending a full training campaign (its short
+    # fine-tune collapses at mv30 scale, r4_mv30_v8k7.json).
     "model.kernel_taps": [
-        int(os.environ.get("MVREG_TAPS", "27"))
+        int(os.environ.get("MVREG_TAPS", "19"))
     ] * 4,
     # Point-to-plane polish A/B (round 4): MVREG_PLANE=0 disables both
     # plane stages AND the per-fragment normals computation they need.
