@@ -349,7 +349,7 @@ def register_pair(
         )
 
     def _polish(Rc, tc):
-        if cfg.match.icp_iters <= 0 and cfg.match.icp_plane_iters <= 0:
+        if cfg.match.icp_iters <= 0:
             return Rc, tc
         from mvreg.ops.icp import icp_refine
 
@@ -360,12 +360,25 @@ def register_pair(
             num_iters=cfg.match.icp_iters,
             scale=cfg.match.icp_scale,
             trust_radius=cfg.match.icp_trust_radius,
+        )
+
+    def _plane_polish(Rc, tc):
+        # Point-to-plane refinement of the SELECTED pose only — running
+        # it on every candidate tripled the plane cost for no selection
+        # benefit (candidates are ranked on the p2p-polished poses, as
+        # in round 3; r4_bench_k27_cheap 49.3 vs 57.0 fr/s plane-off).
+        if cfg.match.icp_plane_iters <= 0 or desc_j.normals is None:
+            return Rc, tc
+        from mvreg.ops.icp import icp_refine
+
+        return icp_refine(
+            Rc, tc, fc, fm, desc_j.centers, desc_j.mask,
+            num_iters=0,
+            scale=cfg.match.icp_scale,
+            trust_radius=cfg.match.icp_trust_radius,
             y_normals=desc_j.normals,
             y_nweight=desc_j.nweights,
-            plane_iters=(
-                cfg.match.icp_plane_iters
-                if desc_j.normals is not None else 0
-            ),
+            plane_iters=cfg.match.icp_plane_iters,
         )
 
     if cfg.match.spectral:
@@ -418,11 +431,12 @@ def register_pair(
             tau=cfg.match.verify_tau,
         )
         ov = jnp.max(_scores)
+        R, t = _plane_polish(R, t)
     else:
         from mvreg.ops.pose_verify import overlap_score
 
         sf = max(cfg.match.verify_stride_final, 1)
-        R, t = _polish(R, t)
+        R, t = _plane_polish(*_polish(R, t))
         ov = overlap_score(
             R, t, fc, fm, desc_j.centers[::sf], desc_j.mask[::sf],
             tau=cfg.match.verify_tau,

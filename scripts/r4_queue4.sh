@@ -37,6 +37,12 @@ timeout 2400 python scripts/diagnose_pair.py --ckpt runs/synth_v8k19 \
 echo "rc=$? $(date)"
 python -c "import json;d=json.load(open('$R/r4_diag_v8k19b.json'));print({k:round(v,3) for k,v in d.items() if isinstance(v,(int,float))})" 2>/dev/null
 
+echo "--- [4b] mv30 v8k19 DEFAULTS-EXACT (winner-only plane polish) ---"
+timeout 3600 python scripts/benchmark_multiview.py --scenes 1 --fragments 30 \
+  --points 6144 --ckpt runs/synth_v8k19 --set "match.num_corr=2048" \
+  --json-out "$R/r4_mv30_flagship.json" > "$R/r4_mv30_flagship.log" 2>&1
+echo "rc=$? $(date)"; grep -E "mean|median" "$R/r4_mv30_flagship.log" | tail -2
+
 echo "--- [5/5] mv30 v8k19 plane_rounds=2 (chase the last trans cells) ---"
 timeout 3600 python scripts/benchmark_multiview.py --scenes 1 --fragments 30 \
   --points 6144 --ckpt runs/synth_v8k19 --set "match.num_corr=2048" \
