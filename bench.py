@@ -98,10 +98,10 @@ CFG_OVERRIDES = {
     # Point-to-plane polish A/B (round 4): MVREG_PLANE=0 disables both
     # plane stages AND the per-fragment normals computation they need.
     "match.icp_plane_iters": (
-        0 if os.environ.get("MVREG_PLANE") == "0" else 2
+        0 if os.environ.get("MVREG_PLANE") == "0" else 3
     ),
     "sync.scene_icp_plane_rounds": (
-        0 if os.environ.get("MVREG_PLANE") == "0" else 1
+        0 if os.environ.get("MVREG_PLANE") == "0" else 2
     ),
 }
 # Chained steps per dispatch; override for fault bisection runs.

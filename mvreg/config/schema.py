@@ -128,8 +128,12 @@ class MatchConfig:
     # tangential centroid mismatch (the measured 2-3 cm translation
     # noise floor, VERDICT r3); the plane residual measures only the
     # normal component. Needs per-voxel normals (ops/normals.py),
-    # computed once per fragment in extract_descriptors.
-    icp_plane_iters: int = 2
+    # computed once per fragment in extract_descriptors. Applied to the
+    # SELECTED pose only (candidates rank on p2p-polished poses). The
+    # winner-iteration sweep at the v8k19 flagship: 2 -> 2.45° mean /
+    # rot@3° 0.556; 3 -> 1.63° / 0.706 (best); 4 -> 2.29° / 0.579
+    # (r4_mv30_{flagship,pi3,pi4}.json).
+    icp_plane_iters: int = 3
     # Edges vmapped per lax.map chunk in register_scene: bigger chunks =
     # larger batched GEMMs (MXU utilization) at higher peak memory.
     edge_batch: int = 16
@@ -187,8 +191,13 @@ class SyncConfig:
     # Extra scene-ICP rounds with point-to-plane residuals after the
     # point-to-point rounds (sync/refine.py; same noise-floor argument
     # as match.icp_plane_iters — this is the stage that sets the final
-    # absolute-translation accuracy).
-    scene_icp_plane_rounds: int = 1
+    # absolute-translation accuracy). Default 2: the flagship A/B at
+    # v8k19 with winner-only pairwise plane polish reads mean rot
+    # 1.99° / rot@3° 0.634 / trans@5cm 0.575 vs 2.45°/0.556/0.563 at
+    # one round (r4_mv30_v8k19_pl2.json vs r4_mv30_flagship.json); the
+    # stage runs only in scene registration, so the pairwise bench is
+    # unaffected.
+    scene_icp_plane_rounds: int = 2
     # Global pose-graph Gauss-Newton over the verified correspondences
     # (sync/pose_gn.py): one joint damped-GN solve over all N node poses
     # — loop-closure constraints per-edge sync and per-node scene-ICP
