@@ -101,7 +101,7 @@ CFG_OVERRIDES = {
         0 if os.environ.get("MVREG_PLANE") == "0" else 3
     ),
     "sync.scene_icp_plane_rounds": (
-        0 if os.environ.get("MVREG_PLANE") == "0" else 2
+        0 if os.environ.get("MVREG_PLANE") == "0" else 1
     ),
 }
 # Chained steps per dispatch; override for fault bisection runs.

@@ -191,13 +191,13 @@ class SyncConfig:
     # Extra scene-ICP rounds with point-to-plane residuals after the
     # point-to-point rounds (sync/refine.py; same noise-floor argument
     # as match.icp_plane_iters — this is the stage that sets the final
-    # absolute-translation accuracy). Default 2: the flagship A/B at
-    # v8k19 with winner-only pairwise plane polish reads mean rot
-    # 1.99° / rot@3° 0.634 / trans@5cm 0.575 vs 2.45°/0.556/0.563 at
-    # one round (r4_mv30_v8k19_pl2.json vs r4_mv30_flagship.json); the
-    # stage runs only in scene registration, so the pairwise bench is
-    # unaffected.
-    scene_icp_plane_rounds: int = 2
+    # absolute-translation accuracy). One round: the full sweep at the
+    # v8k19 flagship (winner plane iters x scene rounds,
+    # r4_mv30_{flagship,pi3,pi4,v8k19_pl2,combo}.json) reads
+    # iters3/rounds1 = 1.63° mean, rot@3° 0.706, trans@5cm 0.605 —
+    # best overall; a second scene round buys ~3 mm translation but
+    # costs ~0.5° rotation (over-iteration on single-cell normals).
+    scene_icp_plane_rounds: int = 1
     # Global pose-graph Gauss-Newton over the verified correspondences
     # (sync/pose_gn.py): one joint damped-GN solve over all N node poses
     # — loop-closure constraints per-edge sync and per-node scene-ICP
