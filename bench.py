@@ -42,6 +42,16 @@ POINTS = 16384
 # re-measured per scale).
 BATCH_PAIRS = int(os.environ.get("MVREG_BENCH_PAIRS", "8"))
 # SCAN_ITERS defined below CFG_OVERRIDES (env-overridable)
+
+# Knobs that change the measured program get ONE module-level constant
+# each, consumed by both CFG_OVERRIDES and the CPU-baseline cache key
+# (round-4 VERDICT Weak #1: the key previously read MVREG_TAPS with a
+# DIFFERENT default than the model override, silently pairing a 19-tap
+# TPU run with a stale 27-tap CPU baseline entry).
+TAPS = int(os.environ.get("MVREG_TAPS", "19"))
+PLANE_OFF = os.environ.get("MVREG_PLANE") == "0"
+TIGHT_CAPS = os.environ.get("MVREG_BENCH_CAPS") == "tight"
+
 CFG_OVERRIDES = {
     # Official capacities (rounds 1-3 comparable). MVREG_BENCH_CAPS=
     # "tight" is an informational A/B: bench fragments actually fill
@@ -52,7 +62,7 @@ CFG_OVERRIDES = {
     # workload definition.
     "voxel.capacities": (
         [8192, 4096, 1280, 512]
-        if os.environ.get("MVREG_BENCH_CAPS") == "tight"
+        if TIGHT_CAPS
         else [8192, 4096, 2048, 1024]
     ),
     "voxel.voxel_size": 0.025,
@@ -92,20 +102,24 @@ CFG_OVERRIDES = {
     # r4_mv30_v8k19b.json) at ~1.35x the conv throughput. 7-tap is the
     # perf tier (103 fr/s) pending a full training campaign (its short
     # fine-tune collapses at mv30 scale, r4_mv30_v8k7.json).
-    "model.kernel_taps": [
-        int(os.environ.get("MVREG_TAPS", "19"))
-    ] * 4,
+    "model.kernel_taps": [TAPS] * 4,
     # Point-to-plane polish A/B (round 4): MVREG_PLANE=0 disables both
     # plane stages AND the per-fragment normals computation they need.
-    "match.icp_plane_iters": (
-        0 if os.environ.get("MVREG_PLANE") == "0" else 3
-    ),
-    "sync.scene_icp_plane_rounds": (
-        0 if os.environ.get("MVREG_PLANE") == "0" else 1
-    ),
+    "match.icp_plane_iters": 0 if PLANE_OFF else 3,
+    "sync.scene_icp_plane_rounds": 0 if PLANE_OFF else 1,
 }
 # Chained steps per dispatch; override for fault bisection runs.
 SCAN_ITERS = int(os.environ.get("MVREG_BENCH_ITERS", "5"))
+
+def baseline_key() -> str:
+    """CPU-baseline cache key, derived from the same module constants
+    CFG_OVERRIDES consumes, so key and program cannot disagree."""
+    key = f"{POINTS}x{BATCH_PAIRS}-k{TAPS}"
+    if PLANE_OFF:
+        key += "-noplane"
+    if TIGHT_CAPS:
+        key += "-tight"
+    return key
 
 
 def build():
@@ -180,31 +194,38 @@ def _sync(out):
     np.asarray(out[0])
 
 
-def _program_flops(jitted, *args) -> float | None:
-    """Total FLOPs of one compiled dispatch via XLA cost analysis.
+def _program_costs(jitted, *args) -> tuple[float | None, float | None]:
+    """(FLOPs, bytes accessed) of one compiled dispatch via XLA cost
+    analysis.
 
-    Returns None when the backend's cost model is unavailable (e.g. some
-    PJRT plugins); callers must treat MFU as best-effort diagnostics.
+    bytes-accessed is XLA's summed operand+output traffic per HLO — an
+    upper bound on HBM traffic (fusion keeps some of it in registers/VMEM)
+    but the right numerator for a bandwidth roofline on a gather-dominated
+    program whose gathers cannot fuse away. Returns None components when
+    the backend's cost model is unavailable; callers must treat MFU /
+    bw_util as best-effort diagnostics.
     """
     try:
         ca = jitted.lower(*args).compile().cost_analysis()
         if isinstance(ca, (list, tuple)):
             ca = ca[0]
         f = float(ca.get("flops", 0.0))
-        return f if f > 0 else None
+        b = float(ca.get("bytes accessed", 0.0))
+        return (f if f > 0 else None), (b if b > 0 else None)
     except Exception:
-        return None
+        return None, None
 
 
 def measure(
     reps: int, warmup: int = 1
-) -> tuple[float, float, float | None]:
-    """(steady_state, e2e, step_flops) of the pipeline on this backend.
+) -> tuple[float, float, float | None, float | None]:
+    """(steady_state, e2e, step_flops, step_bytes) on this backend.
 
     steady_state: marginal per-step time inside a chained scan — device
     throughput, free of the per-dispatch host/relay round trip.
     e2e: single dispatch incl. that round trip (the dev-relay floor).
-    step_flops: XLA-counted FLOPs of one pipeline step (for MFU).
+    step_flops/step_bytes: XLA cost analysis of one pipeline step (for
+    MFU and the HBM-bandwidth roofline).
     Defensive timing: distinct inputs per rep (defeats any memoization),
     per-rep readback barrier, two passes averaged (slower pass wins if
     they disagree by >2x).
@@ -229,30 +250,27 @@ def measure(
 
     dt1, dtS = robust(f1), robust(fS)
     _mark("timed passes done")
-    flops = _program_flops(f1, params, points, mask)
-    _mark(f"cost analysis done (step flops: {flops})")
+    flops, sbytes = _program_costs(f1, params, points, mask)
+    _mark(f"cost analysis done (step flops: {flops}, bytes: {sbytes})")
     marginal = max((dtS - dt1) / (SCAN_ITERS - 1), 1e-9)
     frags = BATCH_PAIRS * 2
-    return frags / marginal, frags / dt1, flops
+    return frags / marginal, frags / dt1, flops, sbytes
 
 
 def cpu_baseline() -> float:
-    """CPU fragments/s for the identical program (cached per scale)."""
+    """CPU fragments/s for the identical program (cached per program key).
+
+    Keys carry every program-changing knob (scale, taps, plane, caps) —
+    see baseline_key(). Legacy keyless entries from rounds 1-3 (measured
+    on pre-plane 27-tap programs) never match the new key format and were
+    purged from BENCH_CPU_BASELINE.json; a mismatch is a cache miss and
+    triggers a fresh measurement of the identical program.
+    """
     cached = {}
     if os.path.exists(CPU_CACHE):
         with open(CPU_CACHE) as fh:
             cached = json.load(fh)
-    key = f"{POINTS}x{BATCH_PAIRS}"
-    if os.environ.get("MVREG_BENCH_CAPS") == "tight":
-        key += "-tight"
-    taps = os.environ.get("MVREG_TAPS", "27")
-    if taps != "27":
-        key += f"-k{taps}"
-    # Legacy single-entry format ({"fragments_per_s": ..., "points": ...,
-    # "batch_pairs": ...}) maps onto its own scale key.
-    if "fragments_per_s" in cached:
-        legacy_key = f"{cached.get('points')}x{cached.get('batch_pairs')}"
-        cached = {legacy_key: cached["fragments_per_s"]}
+    key = baseline_key()
     if key in cached:
         return cached[key]
     env = dict(os.environ)
@@ -276,7 +294,7 @@ def main():
         import jax
 
         jax.config.update("jax_platform_name", "cpu")
-        val, _, _ = measure(reps=1, warmup=1)
+        val, _, _, _ = measure(reps=1, warmup=1)
         print(json.dumps({"fragments_per_s": val}))
         return
 
@@ -284,7 +302,9 @@ def main():
 
     _mark(f"start (backend={jax.default_backend()}, pairs={BATCH_PAIRS})")
     try:
-        frag_s, frag_s_e2e, step_flops = measure(reps=3, warmup=1)
+        frag_s, frag_s_e2e, step_flops, step_bytes = measure(
+            reps=3, warmup=1
+        )
     except Exception as e:
         # The axon TPU worker occasionally comes up poisoned after an
         # earlier crashed process (INVALID_ARGUMENT on dispatches that
@@ -320,10 +340,19 @@ def main():
     # MFU: XLA-counted FLOPs of one step / marginal step time / chip peak
     # (TPU v5e bf16 matmul peak 197 TFLOP/s; override for other chips).
     peak = float(os.environ.get("MVREG_PEAK_FLOPS", 197e12))
-    mfu = None
-    if step_flops:
-        step_time = (BATCH_PAIRS * 2) / frag_s  # s per step (marginal)
-        mfu = round(step_flops / step_time / peak, 5)
+    # Bandwidth roofline: XLA bytes-accessed of one step / marginal step
+    # time vs the chip's HBM peak (TPU v5e: 819 GB/s). This is the
+    # utilization axis that matters for this workload — the pipeline is
+    # gather/bandwidth-bound by construction (see RESULTS.md roofline
+    # section), so bw_util, not MFU, measures distance from the machine
+    # limit.
+    peak_bw = float(os.environ.get("MVREG_PEAK_BW", 819e9))
+    step_time = (BATCH_PAIRS * 2) / frag_s  # s per step (marginal)
+    mfu = round(step_flops / step_time / peak, 5) if step_flops else None
+    bw_gbs = round(step_bytes / step_time / 1e9, 1) if step_bytes else None
+    bw_util = (
+        round(step_bytes / step_time / peak_bw, 3) if step_bytes else None
+    )
     print(
         json.dumps(
             {
@@ -334,6 +363,9 @@ def main():
                 "e2e_fragments_per_s": round(frag_s_e2e, 3),
                 "mfu": mfu,
                 "step_gflops": round(step_flops / 1e9, 2) if step_flops else None,
+                "step_gbytes": round(step_bytes / 1e9, 2) if step_bytes else None,
+                "bw_gbs": bw_gbs,
+                "bw_util": bw_util,
             }
         )
     )

@@ -98,6 +98,18 @@ def plan_lookup(model_cfg, voxel_cfg) -> str:
     if impl == "dense":
         return "dense"
     if impl.startswith("brick"):
+        # The brick schedule assembles full 3^3 windows; its weight
+        # layout is hard-coded to 27 taps (ops/brick.py
+        # sparse_conv_brick) and silently ignoring a sparser support
+        # would die with an opaque reshape error at trace time
+        # (ADVICE r4). Reject the combination up front.
+        kt = tuple(model_cfg.kernel_taps)
+        if any(t != 27 for t in kt):
+            raise ValueError(
+                f"conv_impl={model_cfg.conv_impl!r} (brick schedule) "
+                f"requires kernel_taps=(27,27,27,27); got {kt}. Use the "
+                "taps/fused/dense schedules for sparse kernel support."
+            )
         return "brick"
     return voxel_cfg.lookup
 

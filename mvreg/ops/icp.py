@@ -162,9 +162,16 @@ def icp_refine(
         okp = (n_in >= min_inliers) & fin
         return (
             jnp.where(okp, R2, R), jnp.where(okp, t2, t)
-        ), None
+        ), n_in
 
-    (R2, t2), _ = jax.lax.scan(
+    (R2, t2), n_hist_p = jax.lax.scan(
         plane_step, (R1, t1), None, length=plane_iters
     )
-    return R2, t2
+    # Same contract as the point-to-point stage: a junk pair whose final
+    # plane association count is below min_inliers reverts to the
+    # p2p-validated pose — the per-step guard alone only freezes the
+    # CURRENT iterate, so >=min_inliers coincidental within-radius
+    # associations could otherwise walk the pose away from (R1, t1)
+    # across plane_iters trust-clamped steps (ADVICE r4).
+    okp = n_hist_p[-1] >= min_inliers
+    return jnp.where(okp, R2, R1), jnp.where(okp, t2, t1)

@@ -223,8 +223,11 @@ def register_scene_sharded(
     pairs = jax.tree_util.tree_map(unpad, pairs)
     sync = SyncResult(R=R_nodes, t=t_nodes, weights=unpad(w),
                       residuals=unpad(r))
-    if cfg.sync.scene_icp_rounds > 0:
-        # replicated (cheap) — identical math to the single-device path
+    if cfg.sync.scene_icp_rounds > 0 or (
+        cfg.sync.scene_icp_plane_rounds > 0 and desc.normals is not None
+    ):
+        # replicated (cheap) — identical math to the single-device path,
+        # including its plane-only gate (ADVICE r4)
         from mvreg.sync.refine import scene_icp_refine
 
         desc_n = jax.tree_util.tree_map(lambda a: a[:N], desc)

@@ -602,7 +602,14 @@ def sync_with_refine(
             scale_start=cfg.sync.pose_gn_scale_start,
             damping=cfg.sync.pose_gn_damping,
         )
-    if desc is not None and cfg.sync.scene_icp_rounds > 0:
+    # Plane-only polish (scene_icp_rounds=0, scene_icp_plane_rounds>0) is
+    # a legal config: the plane rounds must not be silently gated behind
+    # the point-to-point rounds (ADVICE r4) — extract_descriptors already
+    # paid for the normals it needs.
+    if desc is not None and (
+        cfg.sync.scene_icp_rounds > 0
+        or (cfg.sync.scene_icp_plane_rounds > 0 and desc.normals is not None)
+    ):
         from mvreg.sync.refine import scene_icp_refine
 
         sync = scene_icp_refine(

@@ -129,3 +129,22 @@ def test_fcgf_brick_matches_fused_end_to_end():
     np.testing.assert_allclose(
         np.asarray(out_b), np.asarray(out_f), rtol=3e-4, atol=3e-4
     )
+
+
+def test_brick_rejects_sparse_kernel_taps():
+    """brick schedules hard-code the full 3^3 window assembly; a sparse
+    kernel_taps config must be rejected up front with a clear error, not
+    die in an opaque reshape at trace time (ADVICE r4)."""
+    import pytest
+
+    from mvreg.config.schema import PipelineConfig, override
+    from mvreg.models.fcgf import plan_lookup
+
+    cfg = override(
+        PipelineConfig(),
+        **{"model.conv_impl": "brick", "model.kernel_taps": [19] * 4},
+    )
+    with pytest.raises(ValueError, match="kernel_taps"):
+        plan_lookup(cfg.model, cfg.voxel)
+    cfg27 = override(PipelineConfig(), **{"model.conv_impl": "brick"})
+    assert plan_lookup(cfg27.model, cfg27.voxel) == "brick"

@@ -136,3 +136,33 @@ def test_pipeline_icp_toggle_runs():
     out = register_pair(params, cfg, di, dj)
     assert np.isfinite(np.asarray(out.R)).all()
     assert abs(float(jnp.linalg.det(out.R)) - 1.0) < 1e-3
+
+
+def test_icp_plane_stage_junk_pair_reverts_to_p2p_pose():
+    """Plane-stage contract (ADVICE r4): when the FINAL plane-association
+    count is below min_inliers, the result is exactly the p2p-validated
+    pose — the per-step guard alone only freezes the current iterate."""
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.uniform(-1, 1, size=(256, 3)).astype(np.float32))
+    R, t = random_rigid(jax.random.PRNGKey(9), ())
+    y = apply_transform(R, t, x)
+    xm = jnp.ones(256, bool)
+    ym = jnp.ones(256, bool)
+    R0, t0 = _perturb(R, t, 3.0, 0.04)
+    normals = jnp.tile(
+        jnp.asarray([0.0, 0.0, 1.0], jnp.float32), (256, 1)
+    )
+    # nweight below the 0.1 planarity gate everywhere: every plane step
+    # counts zero inliers, so the final gate must return the p2p result
+    # bit-for-bit (and the p2p stage itself must have converged).
+    nw = jnp.full((256,), 0.05, jnp.float32)
+    R_p2p, t_p2p = icp_refine(
+        R0, t0, x, xm, y, ym, num_iters=3, plane_iters=0
+    )
+    R_pl, t_pl = icp_refine(
+        R0, t0, x, xm, y, ym, num_iters=3,
+        y_normals=normals, y_nweight=nw, plane_iters=3,
+    )
+    np.testing.assert_array_equal(np.asarray(R_pl), np.asarray(R_p2p))
+    np.testing.assert_array_equal(np.asarray(t_pl), np.asarray(t_p2p))
+    assert float(rotation_error_deg(R_p2p, R)) < 0.5

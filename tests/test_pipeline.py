@@ -279,3 +279,38 @@ def test_subvoxel_centers_beat_grid_centers():
     m = ma2[0]
     inside = jnp.all((c >= lo - 1e-5) & (c <= hi + 1e-5), axis=-1) | ~m
     assert bool(jnp.all(inside))
+
+
+def test_plane_only_scene_polish_not_gated_on_p2p_rounds(
+    cfg, params, monkeypatch
+):
+    """scene_icp_rounds=0 + scene_icp_plane_rounds>0 is a legal config:
+    the plane polish must still run (ADVICE r4 — it was silently gated
+    behind the point-to-point rounds while extract_descriptors still
+    paid the normals cost)."""
+    import mvreg.sync.refine as refine_mod
+
+    calls = {}
+    real = refine_mod.scene_icp_refine
+
+    def spy(*a, **kw):
+        calls["plane_rounds"] = kw.get("plane_rounds")
+        calls["rounds"] = kw.get("rounds")
+        return real(*a, **kw)
+
+    monkeypatch.setattr(refine_mod, "scene_icp_refine", spy)
+    cfg_p = override(
+        cfg,
+        **{
+            "sync.scene_icp_rounds": 0,
+            "sync.scene_icp_plane_rounds": 1,
+            "match.icp_plane_iters": 1,
+        },
+    )
+    scene = make_scene(seed=6, num_fragments=3, points_per_fragment=512)
+    out = register_scene(
+        params, cfg_p, jnp.asarray(scene.points), jnp.asarray(scene.mask)
+    )
+    assert calls.get("plane_rounds") == 1
+    assert calls.get("rounds") == 0
+    assert np.isfinite(np.asarray(out.sync.R)).all()
