@@ -78,6 +78,10 @@ class MatchConfig:
     # faster, ~0.7% argmin flips on near-tie descriptors) — ship only
     # with an end-to-end accuracy A/B (r3 weak #3).
     pallas_precision: str = "highest"
+    # Fused bidirectional mutual match: one Gram sweep feeds both match
+    # directions (half the MXU work and half the kernel count of the
+    # two-pass version; round-4 VERDICT item 7's program-context change).
+    pallas_fused: bool = True
     soft_temperature: float = 0.02
     irls_iters: int = 3  # robust Procrustes reweighting (RANSAC stand-in)
     irls_scale: float = 0.05  # Cauchy scale, meters

@@ -288,10 +288,17 @@ def register_pair(
         corr_mask = fm
     elif cfg.match.mutual:
         if backend == "pallas":
-            from mvreg.ops.pallas.match_argmin import mutual_match_pallas
+            from mvreg.ops.pallas.match_argmin import (
+                mutual_match_pallas,
+                mutual_match_pallas_fused,
+            )
 
+            mm = (
+                mutual_match_pallas_fused
+                if cfg.match.pallas_fused else mutual_match_pallas
+            )
             # interpret on CPU (tests/virtual mesh); compiled on TPU.
-            idx, _, mut = mutual_match_pallas(
+            idx, _, mut = mm(
                 fd, fm, desc_j.feats, desc_j.mask,
                 interpret=jax.default_backend() == "cpu",
                 precision=cfg.match.pallas_precision,

@@ -11,6 +11,9 @@ Training stages mirror the reference protocol (descriptor pretrained,
 filtering/confidence trained on top — SURVEY.md §7 hard-part 3):
   stage="descriptor"  hardest-contrastive only
   stage="filter"      BCE + transformation + confidence (desc frozen)
+  stage="confidence"  confidence-head BCE alone (desc + filter frozen,
+                      BN stats frozen) — post-hoc calibration of the
+                      edge-success predictor without touching the trunk
   stage="joint"       everything, soft-match gradients into the backbone
   stage="sync"        multiview fine-tune THROUGH the synchronization
                       layer (gradients via eigh_safe; SURVEY.md §0 — the
@@ -134,12 +137,14 @@ def loss_fn(
     flat_pts = batch.points.reshape(B * 2, P, 3)
     flat_mask = batch.mask.reshape(B * 2, P)
 
-    if stage == "filter":
+    if stage in ("filter", "confidence"):
         params_desc = jax.lax.stop_gradient(params)
     else:
         params_desc = params
     desc, new_fcgf_stats = _descriptors_train(
-        params_desc, stats, cfg, flat_pts, flat_mask
+        params_desc, stats, cfg, flat_pts, flat_mask,
+        # confidence calibration must not drift the descriptor BN stats
+        update_bn=stage != "confidence",
     )
     d0 = jax.tree_util.tree_map(lambda a: a.reshape(B, 2, *a.shape[1:])[:, 0], desc)
     d1 = jax.tree_util.tree_map(lambda a: a.reshape(B, 2, *a.shape[1:])[:, 1], desc)
@@ -165,7 +170,13 @@ def loss_fn(
         total = total + contr
 
     # --- filtering + pose + confidence on matched correspondences
-    if stage in ("filter", "joint"):
+    if stage in ("filter", "joint", "confidence"):
+        # stage="confidence": post-hoc recalibration of the confidence
+        # head alone (round-4 VERDICT item 4 — v8k19's extended tune
+        # dragged mean NEGATIVE-pair confidence to 0.76). The trunk
+        # (descriptor + filter) is frozen twice over: stop_gradient here
+        # and an update mask in make_train_step (zero grads alone would
+        # still let restored Adam momenta drift the frozen groups).
         _, fnet, cnet = make_models(cfg)
         K = cfg.match.num_corr
 
@@ -182,18 +193,29 @@ def loss_fn(
 
         x, y, cm = jax.vmap(pair_corr)(d0, d1)
         corr = jnp.concatenate([x, y], axis=-1)
-        (logits, w), fupd = fnet.apply(
-            {"params": params["filter"], "batch_stats": stats["filter"]},
-            corr, cm.astype(corr.dtype), train=True,
-            mutable=["batch_stats"],
-        )
+        if stage == "confidence":
+            # frozen trunk: inference-mode filter on running BN stats
+            logits, w = fnet.apply(
+                {"params": jax.lax.stop_gradient(params["filter"]),
+                 "batch_stats": stats["filter"]},
+                corr, cm.astype(corr.dtype), train=False,
+            )
+            fupd = None
+        else:
+            (logits, w), fupd = fnet.apply(
+                {"params": params["filter"],
+                 "batch_stats": stats["filter"]},
+                corr, cm.astype(corr.dtype), train=True,
+                mutable=["batch_stats"],
+            )
         labels = L.inlier_labels(
             x, y, batch.R_ij, batch.t_ij, cm,
             tau=cfg.filter.inlier_threshold,
         )
         cls = L.classification_loss(logits, labels, cm)
         metrics["loss_classification"] = cls
-        total = total + cls
+        if stage != "confidence":
+            total = total + cls
 
         # Uniform 1e-3 prior mass: Kabsch is weight-scale-invariant, so
         # this barely moves the solution when the filter is confident, but
@@ -216,7 +238,8 @@ def loss_fn(
         )
         metrics["loss_transformation"] = tl
         metrics["frac_supervised_pairs"] = jnp.mean(has_inl)
-        total = total + 0.3 * tl
+        if stage != "confidence":
+            total = total + 0.3 * tl
 
         # confidence: predict pairwise success (rot err < 15 deg)
         res = transformation_residuals(R_est, t_est, x, y)
@@ -229,7 +252,17 @@ def loss_fn(
             + (1 - success) * jnp.log(1 - conf + 1e-6)
         )
         metrics["loss_confidence"] = conf_bce
-        total = total + 0.3 * conf_bce
+        # the calibration stage optimizes the confidence BCE ALONE (at
+        # full weight); the joint stages keep the 0.3 auxiliary weight
+        total = total + (
+            conf_bce if stage == "confidence" else 0.3 * conf_bce
+        )
+        metrics["mean_confidence_pos"] = jnp.sum(
+            conf * success
+        ) / jnp.maximum(jnp.sum(success), 1.0)
+        metrics["mean_confidence_neg"] = jnp.sum(
+            conf * (1 - success)
+        ) / jnp.maximum(jnp.sum(1 - success), 1.0)
 
         metrics["rot_err_deg"] = jnp.mean(rot_err)
         metrics["trans_err"] = jnp.mean(
@@ -240,7 +273,7 @@ def loss_fn(
 
     new_stats = dict(stats)
     new_stats["fcgf"] = new_fcgf_stats
-    if stage in ("filter", "joint"):
+    if stage in ("filter", "joint") and fupd is not None:
         new_stats["filter"] = fupd["batch_stats"]
     metrics["loss_total"] = total
     return total, (new_stats, metrics)
@@ -422,6 +455,16 @@ def make_train_step(
         )
         metrics["nonfinite_grad_steps"] = bad.astype(jnp.float32)
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        if stage == "confidence":
+            # Hard-freeze everything but the confidence head WITHOUT
+            # changing the opt_state pytree (checkpoint compat): zero
+            # grads alone are not enough — restored Adam momenta would
+            # still move the frozen groups.
+            updates = {
+                k: (v if k == "confidence"
+                    else jax.tree_util.tree_map(jnp.zeros_like, v))
+                for k, v in updates.items()
+            }
         if cfg.train.descriptor_lr_scale != 1.0:
             # Per-group learning rate WITHOUT changing the opt_state
             # pytree (checkpoint compat): scale the descriptor's final

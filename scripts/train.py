@@ -39,7 +39,8 @@ def main() -> None:
                     help="run on the CPU backend")
     ap.add_argument("--config", type=str, default=None)
     ap.add_argument("--stage", default="joint",
-                    choices=["descriptor", "filter", "joint", "sync"])
+                    choices=["descriptor", "filter", "confidence",
+                             "joint", "sync"])
     ap.add_argument("--fragments", type=int, default=4,
                     help="fragments per scene (sync stage only)")
     ap.add_argument("--steps", type=int, default=None)

@@ -63,6 +63,8 @@ def test_pallas_mutual_matches_reference():
     assert bool(mut.all())
 
 
+@pytest.mark.slow  # 107 s compile-bound integration anchor (r4 timing);
+# kernel-level parity stays in the default tier above
 def test_pipeline_pallas_backend_matches_xla():
     """register_pair with match.backend=pallas == xla backend (interpret)."""
     import numpy as np
@@ -102,3 +104,50 @@ def test_pipeline_pallas_backend_matches_xla():
         np.asarray(outs["xla"].corr_mask),
         np.asarray(outs["pallas"].corr_mask),
     )
+
+
+def test_pallas_fused_mutual_matches_reference():
+    """Fused one-sweep mutual match == XLA mutual_match on unmasked and
+    masked, non-tile-aligned inputs (interpret mode)."""
+    from mvreg.ops.pallas.match_argmin import mutual_match_pallas_fused
+
+    ka, kb = jax.random.split(jax.random.PRNGKey(7))
+    fa = jax.random.normal(ka, (300, 32))
+    fb = jax.random.normal(kb, (450, 32))
+    ma = jnp.arange(300) < 280
+    mb = jnp.arange(450) < 400
+    idx_ref, d2_ref, mut_ref = mutual_match(fa, ma, fb, mb)
+    idx, d2, mut = mutual_match_pallas_fused(fa, ma, fb, mb, **KW)
+    np.testing.assert_array_equal(np.asarray(idx), np.asarray(idx_ref))
+    np.testing.assert_array_equal(np.asarray(mut), np.asarray(mut_ref))
+    np.testing.assert_allclose(
+        np.asarray(d2)[np.asarray(ma)],
+        np.asarray(d2_ref)[np.asarray(ma)],
+        rtol=1e-4, atol=1e-4,
+    )
+    # and against the two-pass pallas version
+    idx2, _, mut2 = mutual_match_pallas(fa, ma, fb, mb, **KW)
+    np.testing.assert_array_equal(np.asarray(idx), np.asarray(idx2))
+    np.testing.assert_array_equal(np.asarray(mut), np.asarray(mut2))
+
+
+def test_pallas_fused_mutual_all_masked_b():
+    """Degenerate: every target column masked — same junk-proof contract
+    as the two-pass version (finite outputs, identical idx/mutual; the
+    row-0 self-coincidence is the established contract for this case and
+    downstream weights gate it out)."""
+    from mvreg.ops.pallas.match_argmin import mutual_match_pallas_fused
+
+    fa = jax.random.normal(jax.random.PRNGKey(1), (64, 16))
+    fb = jax.random.normal(jax.random.PRNGKey(2), (64, 16))
+    ma = jnp.ones(64, bool)
+    mb = jnp.zeros(64, bool)
+    idx, d2, mut = mutual_match_pallas_fused(
+        fa, ma, fb, mb, tile_m=128, tile_n=128, interpret=True
+    )
+    idx2, _, mut2 = mutual_match_pallas(
+        fa, ma, fb, mb, tile_m=128, tile_n=128, interpret=True
+    )
+    assert np.isfinite(np.asarray(idx)).all()
+    np.testing.assert_array_equal(np.asarray(idx), np.asarray(idx2))
+    np.testing.assert_array_equal(np.asarray(mut), np.asarray(mut2))

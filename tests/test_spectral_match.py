@@ -96,6 +96,9 @@ def test_jit_and_vmap():
     assert bool(jnp.all(jnp.isfinite(w)))
 
 
+@pytest.mark.slow  # 76 s compile-bound integration anchor (r4 timing);
+# the op-level spectral tests above stay in the default tier, and every
+# eval-harness run exercises the default-on pipeline path
 def test_pipeline_spectral_default_on():
     """register_pair with match.spectral (the default) stays finite and
     solves a clean synthetic pair."""
