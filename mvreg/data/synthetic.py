@@ -68,6 +68,15 @@ def sample_world_surface(
     cylinders, and tilted plane panels — more distinctive local
     geometry per crop and less axis-aligned self-similarity, targeting
     the 0.05-0.25 putative-inlier-rate bottleneck (VERDICT item 8).
+
+    richness="v3" (training-stream only): v2 plus QUASI-periodic panel
+    rows — identical-looking panels at regular spacing, each carrying a
+    small per-panel detail (size jitter + a knob at a panel-unique
+    offset). Lattice-slid matches between neighboring panels are then
+    hard negatives the contrastive loss can actually separate (true
+    lookalikes beyond safe_radius but with real distinguishing cues in
+    the receptive field) — the alias-scene curriculum (round-4 VERDICT
+    item 4: scene_0 pairwise recall stuck at 0.39 on periodic aliasing).
     Returns (num_points, 3) float32."""
     parts = []
     n_floor = num_points // 3
@@ -102,6 +111,33 @@ def sample_world_surface(
              rng.uniform(0.2, 0.8)]
         )
         kind = rng.random()
+        if richness == "v3" and kind >= 0.75:  # quasi-periodic panel row
+            m = int(rng.integers(3, 6))
+            spacing = rng.uniform(0.35, 0.8)
+            a = rng.uniform(0.25, 0.6, size=2)
+            Rrow = _random_rotation(rng)[0]
+            step_dir = Rrow[:, 0]
+            n_panel = max(n_each // m, 8)
+            for pi in range(m):
+                # per-panel distinguishing detail: ±4% size jitter and a
+                # small knob at a panel-unique in-plane offset
+                ap = a * rng.uniform(0.96, 1.04, size=2)
+                uv = rng.uniform(-0.5, 0.5, size=(n_panel, 2)) * ap
+                p = np.column_stack(
+                    [uv, 0.01 * rng.normal(size=n_panel)]
+                )
+                knob_c = rng.uniform(-0.35, 0.35, size=2) * ap
+                knob_r = rng.uniform(0.03, 0.06)
+                nk = max(n_panel // 6, 4)
+                d = rng.normal(size=(nk, 3))
+                d /= np.linalg.norm(d, axis=-1, keepdims=True)
+                knob = np.column_stack(
+                    [np.tile(knob_c, (nk, 1)), np.zeros(nk)]
+                ) + knob_r * d
+                p = np.concatenate([p, knob])
+                p = p @ Rrow.T + c + pi * spacing * step_dir
+                parts.append(p)
+            continue
         if kind < 0.5 and richness == "v1" or kind < 0.3:  # sphere shell
             r = rng.uniform(0.08, 0.35)
             d = rng.normal(size=(n_each, 3))
@@ -113,7 +149,7 @@ def sample_world_surface(
             p = rng.uniform(-1, 1, size=(n_each, 3)) * half
             ax, sign = face % 3, np.where(face < 3, 1.0, -1.0)
             p[np.arange(n_each), ax] = sign * half[ax]
-            if richness == "v2":  # freely rotated (breaks axis aliasing)
+            if richness != "v1":  # freely rotated (breaks axis aliasing)
                 p = p @ _random_rotation(rng)[0].T
             parts.append(c + p)
         elif kind < 0.85:  # cylinder shell (v2)
