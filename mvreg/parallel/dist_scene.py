@@ -67,6 +67,17 @@ def register_scene_sharded(
     points (N, P, 3), mask (N, P) are host/global arrays; returns the
     same SceneResult as pipeline.register_scene (padded edges removed).
     """
+    # Resolve match.backend="auto" against the MESH's platform, not the
+    # process default backend: on the CPU virtual mesh inside a
+    # TPU-default process (the multichip dryrun environment),
+    # jax.default_backend() says "tpu" and register_pair would dispatch
+    # a compiled (non-interpret) Pallas kernel onto CPU devices.
+    mesh_platform = mesh.devices.flat[0].platform
+    if cfg.match.backend == "auto" and mesh_platform != "tpu":
+        from mvreg.config.schema import override as _cfg_override
+
+        cfg = _cfg_override(cfg, **{"match.backend": "xla"})
+
     N = int(points.shape[0])
     D = mesh.shape[EDGE_AXIS]
     edge_idx = np.asarray(all_pairs(N))
