@@ -81,7 +81,12 @@ class MatchConfig:
     # Fused bidirectional mutual match: one Gram sweep feeds both match
     # directions (half the MXU work and half the kernel count of the
     # two-pass version; round-4 VERDICT item 7's program-context change).
-    pallas_fused: bool = True
+    # Default OFF: its first shipping exposure faulted the axon TPU
+    # worker mid-eval (r5_recall8_v9k7.log: scene_0 clean, then
+    # INVALID_ARGUMENT — the two-pass kernel has been stable on eval
+    # paths for two rounds). Opt-in for A/B until the chip probe
+    # (scripts/match_fused_probe.py) proves it stable.
+    pallas_fused: bool = False
     soft_temperature: float = 0.02
     irls_iters: int = 3  # robust Procrustes reweighting (RANSAC stand-in)
     irls_scale: float = 0.05  # Cauchy scale, meters
