@@ -94,6 +94,12 @@ CFG_OVERRIDES = {
     # crashed; the identical pre-flip program was fine). Reliability of
     # the driver-run number wins.
     "match.backend": os.environ.get("MVREG_MATCH_BACKEND", "xla"),
+    # With backend=auto, MVREG_PALLAS_FUSED=1 selects the fused
+    # mutual-match kernel (one Gram-tile kernel serving both match
+    # directions — halves the kernel count of the program, the round-4
+    # VERDICT's named context-change workaround for the scan-context
+    # fault).
+    "match.pallas_fused": os.environ.get("MVREG_PALLAS_FUSED") == "1",
     "voxel.dense_grid": [112, 112, 112],
     # Kernel support (round 4): gather rows scale with tap count, and
     # the 19-tap (corners-dropped) architecture is the shipping default
