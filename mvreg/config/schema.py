@@ -68,10 +68,17 @@ class ModelConfig:
 class MatchConfig:
     num_corr: int = 1024  # putative correspondences per pair
     mutual: bool = True
-    # NN-match backend: "auto" = the Pallas streaming kernel on TPU
-    # (measured 1.27x XLA at bit-exact HIGHEST precision, 5.1x at bf16;
-    # runs/results/r3_match_sweep2.json), chunked XLA elsewhere
-    # (interpret-mode Pallas is test-ware on CPU).
+    # NN-match backend. "auto" resolves to the chunked-XLA path on every
+    # platform since round 5: the Pallas streaming kernel wins standalone
+    # (1.27x XLA at bit-exact HIGHEST precision, 5.1x at bf16;
+    # runs/results/r3_match_sweep2.json) but faults the axon TPU worker
+    # in ANY long multi-dispatch program — the round-3/4 bench fault,
+    # and in round 5 BOTH kernel variants (two-pass and fused) died at
+    # the second scene of the 8-scene eval battery
+    # (r5_recall8_v9k7.log / r5_queue1.log). Every stable flagship eval
+    # in rounds 2-4 had carried backend: xla via its checkpoint
+    # config.yaml. "pallas" stays as the explicit opt-in for A/Bs and
+    # for toolchains where the worker fault is fixed.
     backend: str = "auto"  # "auto" | "xla" | "pallas"
     # MXU precision of the Pallas match kernel: "highest" is bit-exact
     # vs the XLA path (1.27x faster); "default" truncates to bf16 (5.1x
@@ -131,6 +138,13 @@ class MatchConfig:
     icp_iters: int = 3
     icp_scale: float = 0.05  # Cauchy scale, meters
     icp_trust_radius: float = 0.25  # max NN association distance, meters
+    # Junk-pair safety: ICP stages (p2p and plane) revert to their input
+    # pose when the final within-trust-radius association count is below
+    # this. 0 disables the revert — used by the sharded-parity smoke
+    # test, where the revert's step discontinuity at junk (untrained)
+    # match quality flips between bitwise-different replicas; trained-
+    # scale parity WITH the gate is covered by r5_sharded_scene.json.
+    icp_min_inliers: int = 16
     # Point-to-PLANE Gauss-Newton iterations appended to the pairwise
     # ICP polish (ops/icp.py). Matched voxels from offset grids cover
     # different surface patches, so point-to-point floors at ~voxel/2

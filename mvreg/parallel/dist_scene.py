@@ -67,13 +67,19 @@ def register_scene_sharded(
     points (N, P, 3), mask (N, P) are host/global arrays; returns the
     same SceneResult as pipeline.register_scene (padded edges removed).
     """
-    # Resolve match.backend="auto" against the MESH's platform, not the
-    # process default backend: on the CPU virtual mesh inside a
-    # TPU-default process (the multichip dryrun environment),
-    # jax.default_backend() says "tpu" and register_pair would dispatch
-    # a compiled (non-interpret) Pallas kernel onto CPU devices.
+    # Since round 5 "auto" resolves to xla on every platform inside
+    # register_pair itself (the Pallas match kernels fault the axon
+    # worker in long multi-dispatch programs; see MatchConfig.backend).
+    # Still pin it here against the MESH platform so an EXPLICIT
+    # backend="pallas" on a CPU virtual mesh inside a TPU-default
+    # process (the multichip dryrun environment) doesn't dispatch a
+    # compiled Pallas kernel onto CPU devices.
     mesh_platform = mesh.devices.flat[0].platform
-    if cfg.match.backend == "auto" and mesh_platform != "tpu":
+    if (
+        cfg.match.backend == "pallas"
+        and mesh_platform != "tpu"
+        and jax.default_backend() != "cpu"
+    ):
         from mvreg.config.schema import override as _cfg_override
 
         cfg = _cfg_override(cfg, **{"match.backend": "xla"})
@@ -255,6 +261,7 @@ def register_scene_sharded(
                     cfg.sync.scene_icp_plane_rounds
                     if d.normals is not None else 0
                 ),
+                min_inliers=cfg.match.icp_min_inliers,
             )
         )(desc_n, sync)
     return SceneResult(edge_idx=jnp.asarray(edge_idx), pairs=pairs,

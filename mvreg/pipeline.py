@@ -267,9 +267,13 @@ def register_pair(
 
     backend = cfg.match.backend
     if backend == "auto":
-        # Pallas on real TPU (faster at bit-exact precision); XLA on
-        # CPU, where the Pallas kernels only run in slow interpret mode.
-        backend = "pallas" if jax.default_backend() == "tpu" else "xla"
+        # XLA everywhere (round 5): the Pallas match kernels fault the
+        # axon TPU worker in long multi-dispatch programs — both the
+        # two-pass and the fused variant died at the second scene of
+        # the eval battery (r5_recall8_v9k7.log); every stable eval in
+        # rounds 2-4 had backend: xla pinned via checkpoint config.
+        # Explicit backend="pallas" remains the A/B opt-in.
+        backend = "xla"
 
     if use_soft_match:
         if backend == "pallas":
@@ -367,6 +371,7 @@ def register_pair(
             num_iters=cfg.match.icp_iters,
             scale=cfg.match.icp_scale,
             trust_radius=cfg.match.icp_trust_radius,
+            min_inliers=cfg.match.icp_min_inliers,
         )
 
     def _plane_polish(Rc, tc):
@@ -383,6 +388,7 @@ def register_pair(
             num_iters=0,
             scale=cfg.match.icp_scale,
             trust_radius=cfg.match.icp_trust_radius,
+            min_inliers=cfg.match.icp_min_inliers,
             y_normals=desc_j.normals,
             y_nweight=desc_j.nweights,
             plane_iters=cfg.match.icp_plane_iters,
@@ -631,6 +637,7 @@ def sync_with_refine(
                 cfg.sync.scene_icp_plane_rounds
                 if desc.normals is not None else 0
             ),
+            min_inliers=cfg.match.icp_min_inliers,
         )
     return pairs, sync
 

@@ -37,6 +37,7 @@ def scene_icp_refine(
     nweights: Array | None = None,
     plane_rounds: int = 0,
     plane_iters: int = 2,
+    min_inliers: int = 16,
 ) -> SyncResult:
     """Polish absolute poses (N,3,3)/(N,3) against the joint world cloud.
 
@@ -89,6 +90,7 @@ def scene_icp_refine(
                         R[k], t[k], centers[k], masks[k], flat, tm,
                         num_iters=0, scale=scale,
                         trust_radius=trust_radius,
+                        min_inliers=min_inliers,
                         y_normals=flat_n, y_nweight=flat_nw,
                         plane_iters=plane_iters,
                     )
@@ -96,6 +98,7 @@ def scene_icp_refine(
                     R[k], t[k], centers[k], masks[k], flat, tm,
                     num_iters=icp_iters, scale=scale,
                     trust_radius=trust_radius,
+                    min_inliers=min_inliers,
                 )
 
             R2, t2 = jax.lax.map(refine_node, jnp.arange(N))
