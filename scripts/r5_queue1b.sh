@@ -8,8 +8,8 @@ CK=runs/synth_v9k7
 exec 2>&1
 
 echo "=== r5 queue1b start $(date) ==="
-echo "--- fresh box, no recovery idle needed ---"
-sleep 5
+echo "--- recovery idle 240 s (pallas-match fault + killed chip process) ---"
+sleep 240
 
 echo "--- [7/12] recall8 v9k7 (defaults-exact) ---"
 timeout 4800 python scripts/benchmark_pairwise.py --scenes 8 --fragments 8 \
