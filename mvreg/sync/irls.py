@@ -49,7 +49,28 @@ def rotation_sync_from_laplacian(L: Array, n_nodes: int) -> Array:
 
     Split out so the distributed path (edge-sharded partial assembly +
     psum; mvreg/parallel/dist_sync.py) can share the spectral step.
+
+    DEGREE-NORMALIZED (round 5): the raw Laplacian's three smallest
+    eigenvalues belong to whichever node has the least total incident
+    weight once that falls below the graph's algebraic connectivity —
+    a single weak node (one fragment with no confident edges) then
+    hands the eigensolver ITS arbitrary near-null basis instead of the
+    rotation subspace and every pose collapses (the round-5 v9k7 mv30
+    failure: node 29 isolated in the good graph, spectrum
+    [0, 0, 0, 0.006, ...] — r5_syncprobe_v9k7*.json). Normalizing
+    D^-1/2 L D^-1/2 pins every node's diagonal block at I, so weak
+    nodes sit at eigenvalue ~1 instead of ~0 and the bottom eigenvectors
+    stay the rotation modes of the CONNECTED mass. Per-node positive
+    scaling (s_n R_nᵀQ) is removed by the SO(3) block projection below.
+    Nodes with ~zero degree are anchored at identity-blocks
+    (eigenvalue 1) rather than divided by ~0.
     """
+    deg = jnp.diagonal(L)  # (3N,) — per-node incident weight, repeated 3x
+    mean_deg = jnp.maximum(jnp.mean(deg), 1e-12)
+    empty = deg < 1e-3 * mean_deg
+    s = jax.lax.rsqrt(jnp.where(empty, 1.0, deg))
+    L = L * (s[:, None] * s[None, :])
+    L = L + jnp.diag(jnp.where(empty, 1.0, 0.0).astype(L.dtype))
     # Small diagonal shift: shifts the whole spectrum, leaves eigenvectors
     # unchanged, and keeps eigh well behaved if some node is isolated.
     L = L + 1e-6 * jnp.eye(3 * n_nodes, dtype=L.dtype)
