@@ -201,6 +201,12 @@ class SyncConfig:
     # re-check it if the stride changes (coarser stride -> lower
     # scores -> effectively stricter floor).
     overlap_floor: float = 0.15  # scores at/below this gate to zero
+    # Connectivity floor: initial sync weights are floored at
+    # frac * raw confidence so the threshold prune can never disconnect
+    # the graph (pipeline.initial_edge_weights). 0 = off (round-5
+    # default; measured rescue of a split-gauge collapse at 0.01 —
+    # RESULTS round-5 bonus section).
+    weight_floor_frac: float = 0.0
     overlap_power: float = 2.0  # sharpness of the ramp above the floor
     # Triplet cycle-consistency gate on the sync init weights
     # (sync/cycles.py): lattice-slid alias edges pass the overlap gate

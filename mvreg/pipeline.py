@@ -523,6 +523,22 @@ def initial_edge_weights(cfg: PipelineConfig, pairs: PairResult) -> Array:
         gated = c_init * overlap_gate(cfg, pairs.overlap)
         # never hand the eigensolver an all-zero graph
         c_init = jnp.where(jnp.sum(gated) > 1e-6, gated, c_init)
+    # Connectivity floor (round 5, default off): mix a small fraction
+    # of the RAW confidence back under the pruned/gated weights. The
+    # threshold prune can disconnect the sync graph outright (an
+    # over-conservative confidence head zeroes most true edges), and
+    # no solver bridges an empty cut — the eigensolver then mixes the
+    # components' gauges arbitrarily (the v8k19d mv30 collapse,
+    # r5_syncprobe_v8k19d.json: oracle 1.16 deg, real weights 88 deg).
+    # Flooring at frac*confidence preserves relative ordering while
+    # guaranteeing the graph stays as connected as the raw-confidence
+    # graph; on the saved v8k19d edge data frac=0.01 takes IRLS from
+    # 88 deg / 1.8 m to 0.54 deg / 1.9 cm. Default 0.0 pending a full
+    # eval battery (it changes every shipped number class).
+    if cfg.sync.weight_floor_frac > 0.0:
+        c_init = jnp.maximum(
+            c_init, cfg.sync.weight_floor_frac * pairs.confidence
+        )
     # Degenerate-mass guard: an (untrained / all-junk) confidence head
     # can emit ~1e-9 weights on every edge — numerically a DISCONNECTED
     # graph, which NaN'd the sharded sync solves (r4 dryrun bisect). No
